@@ -1,0 +1,77 @@
+"""Per-frame segmentation task module: model wrapper, loss, inference.
+
+Replicates the reference dual-mode contract (reference: models/models.py:74-111):
+  * training: ``loss, acc`` where loss = NLL(log_softmax(upsampled logits),
+    label, ignore=255) + deep_sup_scale * NLL(deepsup);
+  * inference: softmax probabilities bilinearly upsampled to ``seg_size``.
+
+Functionally decomposed for JAX: the flax module produces logits; pure
+functions below assemble the loss / the inference probabilities so both can
+be jitted and differentiated.
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.interpolate import resize_bilinear
+from ..utils.metrics import pixel_acc
+
+
+class SegmentationModule(nn.Module):
+    """Encoder + decoder producing (logits, deepsup_logits?) tuples."""
+
+    encoder: nn.Module
+    decoder: nn.Module
+
+    def __call__(self, img, train: bool = False):
+        """img: [N, H, W, 3] normalized; returns decoder output tuple."""
+        conv_out = self.encoder(img, train=train)
+        return self.decoder(conv_out, train=train)
+
+
+def nll_loss(logits: jnp.ndarray, label: jnp.ndarray,
+             ignore_index: int = 255) -> jnp.ndarray:
+    """Cross entropy on logits == NLLLoss(log_softmax) of the reference.
+
+    logits: [N, H, W, C] (raw); label: [N, H, W] int with ignore_index.
+    Mean over non-ignored pixels (torch NLLLoss default reduction).
+    """
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    valid = label != ignore_index
+    lab = jnp.where(valid, label, 0).astype(jnp.int32)
+    picked = jnp.take_along_axis(logp, lab[..., None], axis=-1)[..., 0]
+    loss_sum = -jnp.sum(picked * valid)
+    return loss_sum / jnp.maximum(jnp.sum(valid), 1)
+
+
+def segmentation_loss(outputs, label: jnp.ndarray,
+                      deep_sup_scale: float | None = 0.4):
+    """Training loss + pixel acc (reference: models/models.py:82-108).
+
+    outputs: tuple of logits — (main,) or (main, deepsup), at feature
+    resolution; both are bilinearly upsampled to the label size first.
+    label: [N, H, W] int32 with 255 = ignore.
+    """
+    h, w = label.shape[1:3]
+    pred = resize_bilinear(outputs[0].astype(jnp.float32), (h, w))
+    loss = nll_loss(pred, label)
+    if deep_sup_scale is not None and len(outputs) > 1:
+        pred_deepsup = resize_bilinear(outputs[1].astype(jnp.float32), (h, w))
+        loss = loss + deep_sup_scale * nll_loss(pred_deepsup, label)
+    # reference computes acc on pred vs label with ignore<0 semantics; our
+    # labels use 255 for ignore, so mask it to -1 first
+    acc_label = jnp.where(label == 255, -1, label)
+    acc = pixel_acc(pred, acc_label)
+    return loss, acc
+
+
+def inference_probs(outputs, seg_size: tuple[int, int]) -> jnp.ndarray:
+    """Softmax probabilities at seg_size (reference: models/models.py:109-111)."""
+    logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+    x = resize_bilinear(logits.astype(jnp.float32), seg_size)
+    return jax.nn.softmax(x, axis=-1)
