@@ -1,0 +1,49 @@
+"""Device mesh construction and sharding policy.
+
+The reference's multi-device story is single-process DataParallel over GPUs
+with a thread-queue sync-BN (reference: train.py:305-311,
+models/sync_batchnorm/comm.py).  The TPU-native replacement is GSPMD over a
+``jax.sharding.Mesh``:
+
+  * ``data`` axis — batch (and folded clip-time) dimension; gradients and BN
+    statistics all-reduce over ICI automatically;
+  * ``model`` axis — optional tensor parallelism for wide head channels
+    (PPM/OCR 512-d convs) — weights sharded on their output-channel dim.
+
+``make_mesh(n_data, n_model)`` works on real TPU slices and on the CPU
+fake-device mesh used by tests/dry-runs alike.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_data: int = -1, n_model: int = 1,
+              devices=None) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    if n_data in (-1, 0):
+        n_data = len(devices) // n_model
+    n = n_data * n_model
+    assert n <= len(devices), (
+        f"mesh ({n_data}x{n_model}) needs {n} devices, have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(n_data, n_model)
+    return Mesh(arr, ("data", "model"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch/time-folded) axis over 'data'."""
+    return NamedSharding(mesh, P("data"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch pytree with the batch axis sharded on 'data'."""
+    sh = batch_sharding(mesh)
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)

@@ -1,0 +1,125 @@
+"""Distributed-equivalence and optimizer-parity tests.
+
+Oracle pattern from the reference ("distributed == single-device",
+lib/nn/modules/tests/test_sync_batchnorm.py) applied to the GSPMD train
+step, plus torch.optim.SGD as the optimizer oracle.
+"""
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from cvpr2021_vspw_implement_tpu.models import ModelBuilder, SegmentationModule
+from cvpr2021_vspw_implement_tpu.parallel import (
+    TrainState, create_clip_optimizer, create_frame_optimizer, make_mesh,
+    make_train_step, poly_schedule, shard_batch)
+
+KEY = jax.random.PRNGKey(0)
+
+
+def test_poly_schedule():
+    s = poly_schedule(0.02, 100, 0.9)
+    assert float(s(0)) == pytest.approx(0.02)
+    assert float(s(50)) == pytest.approx(0.02 * 0.5 ** 0.9)
+    assert float(s(100)) == pytest.approx(0.0)
+
+
+def test_sgd_matches_torch_with_decay_groups():
+    """Our masked optax chain == torch SGD with per-group weight decay."""
+    rng = np.random.default_rng(0)
+    w0 = rng.standard_normal((4, 3), dtype=np.float32)
+    b0 = rng.standard_normal((3,), dtype=np.float32)
+    params = {"encoder": {"conv": {"kernel": jnp.asarray(w0),
+                                   "bias": jnp.asarray(b0)}}}
+    tx = create_frame_optimizer(params, lr=0.1, max_iters=10,
+                                momentum=0.9, weight_decay=0.01)
+    opt_state = tx.init(params)
+
+    wt = torch.nn.Parameter(torch.from_numpy(w0.copy()))
+    bt = torch.nn.Parameter(torch.from_numpy(b0.copy()))
+    topt = torch.optim.SGD([
+        {"params": [wt], "weight_decay": 0.01},
+        {"params": [bt], "weight_decay": 0.0},
+    ], lr=0.1, momentum=0.9)
+
+    for it in range(5):
+        # fake gradient = params * 0.5 (deterministic)
+        grads = jax.tree_util.tree_map(lambda p: p * 0.5, params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+
+        lr = 0.1 * (1 - it / 10) ** 0.9
+        for g in topt.param_groups:
+            g["lr"] = lr
+        wt.grad = wt.detach() * 0.5
+        bt.grad = bt.detach() * 0.5
+        topt.step()
+
+    np.testing.assert_allclose(np.asarray(params["encoder"]["conv"]["kernel"]),
+                               wt.detach().numpy(), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(params["encoder"]["conv"]["bias"]),
+                               bt.detach().numpy(), rtol=1e-5, atol=1e-6)
+
+
+def test_clip_optimizer_lr_groups_and_fix():
+    params = {"encoder": {"kernel": jnp.ones((2, 2)), "bias": jnp.ones((2,))},
+              "head": {"kernel": jnp.ones((2, 2))}}
+    grads = jax.tree_util.tree_map(jnp.ones_like, params)
+
+    tx = create_clip_optimizer(params, lr=1.0, max_iters=10**9, momentum=0.0,
+                               weight_decay=0.0)
+    updates, _ = tx.update(grads, tx.init(params), params)
+    # encoder at 0.1x lr, head at 1x
+    assert float(updates["encoder"]["kernel"][0, 0]) == pytest.approx(-0.1)
+    assert float(updates["head"]["kernel"][0, 0]) == pytest.approx(-1.0)
+
+    tx_fix = create_clip_optimizer(params, lr=1.0, max_iters=10**9,
+                                   momentum=0.0, weight_decay=0.0,
+                                   fix_encoder=True)
+    updates, _ = tx_fix.update(grads, tx_fix.init(params), params)
+    assert float(jnp.abs(updates["encoder"]["kernel"]).max()) == 0.0
+    assert float(updates["head"]["kernel"][0, 0]) == pytest.approx(-1.0)
+
+
+@pytest.mark.skipif(len(jax.devices()) < 8, reason="needs 8 virtual devices")
+def test_train_step_sharded_equals_single_device():
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    dec = ModelBuilder.build_decoder("c1", fc_dim=512, num_class=5)
+    model = SegmentationModule(enc, dec)
+
+    rng = np.random.default_rng(0)
+    img = jnp.asarray(rng.standard_normal((8, 32, 32, 3), dtype=np.float32))
+    label = jnp.asarray(rng.integers(0, 5, (8, 32, 32)))
+    batch = {"img": img, "label": label}
+
+    variables = model.init({"params": KEY, "dropout": KEY}, img, train=True)
+    tx = create_frame_optimizer(variables["params"], lr=0.01, max_iters=100)
+
+    step_fn = make_train_step(model, tx, deep_sup_scale=None, donate=False)
+
+    # single device
+    state0 = TrainState.create(variables, tx)
+    state1, m1 = step_fn(state0, batch, KEY)
+    state2, m2 = step_fn(state1, batch, KEY)
+
+    # sharded over 8 devices
+    mesh = make_mesh(8, 1)
+    sbatch = shard_batch(mesh, batch)
+    sstate = TrainState.create(variables, tx)
+    sstate, sm1 = step_fn(sstate, sbatch, KEY)
+    sstate, sm2 = step_fn(sstate, shard_batch(mesh, batch), KEY)
+
+    assert float(m2["loss"]) == pytest.approx(float(sm2["loss"]), rel=2e-4)
+    # parameters after 2 steps must match across sharding
+    flat_a = jax.tree_util.tree_leaves(state2.params)
+    flat_b = jax.tree_util.tree_leaves(sstate.params)
+    for a, b in zip(flat_a, flat_b):
+        # atol 3e-4: cross-device psum reduces in a different order than the
+        # single-device sum; the diff is pure f32 noise amplified by momentum.
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
+    # loss should move from step 1 to 2 (training is happening)
+    assert float(m1["loss"]) != pytest.approx(float(m2["loss"]), abs=1e-7)
