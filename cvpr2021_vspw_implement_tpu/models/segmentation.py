@@ -75,3 +75,18 @@ def inference_probs(outputs, seg_size: tuple[int, int]) -> jnp.ndarray:
     logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
     x = resize_bilinear(logits.astype(jnp.float32), seg_size)
     return jax.nn.softmax(x, axis=-1)
+
+
+def inference_pred(outputs, seg_size: tuple[int, int]) -> jnp.ndarray:
+    """Argmax prediction at seg_size.
+
+    Identical to ``argmax(inference_probs(...))`` (softmax is monotone; the
+    reference argmaxes the softmax output, test.py:66-70) but returns a
+    [N, H, W] uint8 map — ~500x less HBM traffic and host transfer than the
+    full probability volume.  Use for plain eval; use ``inference_probs``
+    when probabilities must be averaged across windows (nonlocal3d
+    ``test_all``, reference: test_clip2.py:90-195).
+    """
+    logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+    x = resize_bilinear(logits.astype(jnp.float32), seg_size)
+    return jnp.argmax(x, axis=-1).astype(jnp.uint8)
