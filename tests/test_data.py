@@ -1,0 +1,131 @@
+"""Data layer tests on a synthetic VSPW-layout dataset."""
+
+import argparse
+
+import numpy as np
+import pytest
+
+from cvpr2021_vspw_implement_tpu.data import (
+    ClipDataset, FrameDataset, LongClipDataset, PrefetchLoader,
+    TestClipDataset, TestFrameDataset, TestLongClipDataset,
+    collate_clips_target_last, collate_frames, dilation_lists,
+    make_synthetic_vspw, remap_label)
+
+
+@pytest.fixture(scope="module")
+def vspw_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vspw")
+    make_synthetic_vspw(str(root), num_videos=2, frames_per_video=20,
+                        size=(40, 56), num_class=6)
+    return str(root)
+
+
+def _args(root, **kw):
+    ns = argparse.Namespace(
+        dataroot=root, trainfps=15, cropsize=32, multi_scale=False,
+        lesslabel=False, train_filter=False, clip_num=4, dilation_num=1,
+        dilation2="2,5,9", method="")
+    for k, v in kw.items():
+        setattr(ns, k, v)
+    return ns
+
+
+def test_remap_label():
+    raw = np.array([[0, 1, 2], [255, 124, 254]], np.uint8)
+    out = remap_label(raw)
+    assert out.tolist() == [[255, 0, 1], [255, 123, 253]]
+    # 254→255 rule: raw 255-1=254 → 255
+    assert out[1, 0] == 255
+
+
+def test_dilation_lists():
+    lst = list("abcdefg")
+    subs = dilation_lists(lst, 2)
+    assert subs == [["a", "d", "g"], ["b", "e"], ["c", "f"]]
+
+
+def test_frame_dataset_train(vspw_root):
+    ds = FrameDataset(_args(vspw_root), "train", seed=0)
+    assert len(ds) == 40  # trainfps=15 → num=1 → every frame, 2x20
+    ds1 = FrameDataset(_args(vspw_root, trainfps=1), "train", seed=0)
+    assert len(ds1) == 4  # num=15 → frames 0 and 15 per video
+    img, lab = ds[0]
+    assert img.shape == (32, 32, 3) and lab.shape == (32, 32)
+    assert img.dtype == np.float32 and lab.dtype == np.int32
+    assert lab.max() <= 255 and lab.min() >= 0
+
+
+def test_frame_dataset_val_no_crop(vspw_root):
+    ds = FrameDataset(_args(vspw_root), "val", seed=0)
+    img, lab = ds[0]
+    assert img.shape == (40, 56, 3)
+
+
+def test_frame_dataset_pads_small_images(vspw_root):
+    ds = FrameDataset(_args(vspw_root, cropsize=48), "train", seed=0)
+    img, lab = ds[0]
+    assert img.shape == (48, 48, 3)
+    assert (lab == 255).any()  # padding is ignore-labeled
+
+
+def test_clip_dataset_shared_aug(vspw_root):
+    ds = ClipDataset(_args(vspw_root, multi_scale=True), "train", seed=1)
+    imgs, labs = ds[0]
+    assert len(imgs) == 4 and len(labs) == 4
+    assert all(i.shape == (32, 32, 3) for i in imgs)
+    assert all(l.shape == (32, 32) for l in labs)
+
+
+def test_longclip_dataset_order(vspw_root):
+    ds = LongClipDataset(_args(vspw_root), "train", seed=2)
+    imgs, labs = ds[0]
+    assert len(imgs) == 4  # anchor + 3 offsets
+
+
+def test_test_datasets(vspw_root):
+    args = _args(vspw_root)
+    tfd = TestFrameDataset(vspw_root, "video_000", args)
+    assert len(tfd) == 20
+    img, lab, name = tfd[0]
+    assert img.shape == (40, 56, 3) and name.endswith(".png")
+
+    tcd = TestClipDataset(vspw_root, "video_000", args)
+    img, lab, clips, cliplabs, name = tcd[5]
+    # clip_num=4, eval frame excluded → 3 context frames
+    assert len(clips) == 3
+
+    tld = TestLongClipDataset(vspw_root, "video_000", args)
+    img, lab, clips, cliplabs, name = tld[0]
+    assert len(clips) == 3  # dilation2 offsets
+    # near the end: offsets flip backwards, still 3 context frames
+    img, lab, clips, _, _ = tld[19]
+    assert len(clips) == 3
+
+
+def test_prefetch_loader_frames(vspw_root):
+    ds = FrameDataset(_args(vspw_root, trainfps=1), "train", seed=0)
+    loader = PrefetchLoader(ds, batch_size=4, collate=collate_frames,
+                            shuffle=True, seed=0)
+    batches = list(loader)
+    assert len(batches) == len(ds) // 4
+    b = batches[0]
+    assert b["img"].shape == (4, 32, 32, 3)
+    assert b["label"].shape == (4, 32, 32)
+
+
+def test_prefetch_loader_clips_target_last(vspw_root):
+    ds = LongClipDataset(_args(vspw_root), "train", seed=3)
+    loader = PrefetchLoader(ds, batch_size=2,
+                            collate=collate_clips_target_last, shuffle=False)
+    b = next(iter(loader))
+    # 4 frames per sample: [d1, d2, d3, anchor(target)] stacked [T,N,...]
+    assert b["img"].shape == (4, 2, 32, 32, 3)
+    assert b["labels"].shape == (4, 2, 32, 32)
+
+    # target-last: first sample's anchor (item order index 0) must equal
+    # the last time slice
+    imgs, labs = ds[0]
+    # can't compare directly (shuffle=False but dataset re-augments); just
+    # check dtype/range invariants instead
+    assert b["img"].dtype == np.float32
+    assert b["labels"].dtype == np.int32
