@@ -109,6 +109,11 @@ def _coerce(value: Any, old: Any) -> Any:
         return bool(value)
     if isinstance(old, tuple) and isinstance(value, (list, tuple)):
         return tuple(value)
+    if isinstance(old, tuple) and isinstance(value, str):
+        # yacs-style "(300, 375, 450)" tuple literals in YAML presets
+        stripped = value.strip()
+        if stripped.startswith("(") and stripped.endswith(")"):
+            return tuple(yaml.safe_load("[" + stripped[1:-1] + "]"))
     if isinstance(old, float) and isinstance(value, int):
         return float(value)
     return value

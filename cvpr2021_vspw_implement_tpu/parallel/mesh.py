@@ -34,6 +34,16 @@ def make_mesh(n_data: int = -1, n_model: int = 1,
     return Mesh(arr, ("data", "model"))
 
 
+def auto_data_axis(batch_size: int, n_devices: int | None = None) -> int:
+    """Largest device count ≤ n_devices that divides the global batch."""
+    if n_devices is None:
+        n_devices = len(jax.devices())
+    for d in range(min(batch_size, n_devices), 0, -1):
+        if batch_size % d == 0:
+            return d
+    return 1
+
+
 def batch_sharding(mesh: Mesh) -> NamedSharding:
     """Shard the leading (batch/time-folded) axis over 'data'."""
     return NamedSharding(mesh, P("data"))

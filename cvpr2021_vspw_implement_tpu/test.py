@@ -1,0 +1,125 @@
+"""Per-frame evaluation driver (reference: test.py).
+
+Per-video loop computing global + per-video confusion-matrix metrics and
+optional palette PNG prediction dumps.  Predictions are identical to the
+reference's argmax-of-softmax (see models.segmentation.inference_pred).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .config import cfg as default_cfg
+from .data import TestFrameDataset, list_videos
+from .models import ModelBuilder, SegmentationModule, inference_pred
+from .utils import Evaluator, setup_logger, vspw_palette
+from .utils.checkpoint import load_checkpoint
+
+
+def build_eval_parser():
+    parser = argparse.ArgumentParser(description="TPU Segmentation Eval")
+    parser.add_argument("--cfg", type=str, required=True)
+    parser.add_argument("--dataroot", type=str, default="")
+    parser.add_argument("--split", type=str, default="val")
+    parser.add_argument("--num_class", type=int, default=124)
+    parser.add_argument("--load", type=str, default="",
+                        help="checkpoint (.msgpack) to evaluate")
+    parser.add_argument("--saveroot", type=str, default="")
+    parser.add_argument("--is_save", action="store_true")
+    parser.add_argument("--lesslabel", action="store_true")
+    parser.add_argument("--use_720p", action="store_true")
+    parser.add_argument("--max_videos", type=int, default=0)
+    parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    return parser
+
+
+def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
+             is_save: bool = False):
+    """Returns (metrics dict, per-video mIoU dict)."""
+    logger = logger or setup_logger()
+    dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else None
+    enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
+                                     fc_dim=cfg.MODEL.fc_dim, dtype=dtype)
+    dec = ModelBuilder.build_decoder(cfg.MODEL.arch_decoder,
+                                     fc_dim=cfg.MODEL.fc_dim,
+                                     num_class=args.num_class, dtype=dtype)
+    model = SegmentationModule(enc, dec)
+
+    if variables is None:
+        key = jax.random.PRNGKey(0)
+        sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
+        variables = model.init({"params": key}, sample, train=False)
+        if args.load:
+            from .parallel import TrainState
+            # checkpoints store the full TrainState; restore params+stats
+            import flax.serialization as ser
+            with open(args.load, "rb") as f:
+                tree = ser.msgpack_restore(f.read())
+            variables = {"params": tree["params"],
+                         "batch_stats": tree["batch_stats"]}
+            logger.info(f"loaded checkpoint {args.load}")
+
+    @jax.jit
+    def infer(img):
+        outs = model.apply(variables, img, train=False)
+        return inference_pred(outs, img.shape[1:3])
+
+    evaluator = Evaluator(args.num_class)
+    vmiou = {}
+    palette = vspw_palette()
+    videos = list_videos(args.dataroot, args.split)
+    if max_videos:
+        videos = videos[:max_videos]
+
+    for video in videos:
+        ds = TestFrameDataset(args.dataroot, video, args)
+        eval_video = Evaluator(args.num_class)
+        for i in range(len(ds)):
+            img, gt, gtname = ds[i]
+            pred = np.asarray(infer(jnp.asarray(img[None])))[0]
+            evaluator.add_batch(gt[None], pred[None])
+            eval_video.add_batch(gt[None], pred[None])
+            if is_save and args.saveroot:
+                odir = os.path.join(args.saveroot, video)
+                os.makedirs(odir, exist_ok=True)
+                out = Image.fromarray(pred.astype(np.uint8), mode="P")
+                out.putpalette(palette)
+                out.save(os.path.join(odir, gtname))
+        vmiou[video] = eval_video.Mean_Intersection_over_Union()
+        logger.info(f"video {video}: mIoU {vmiou[video]:.4f}")
+
+    metrics = {
+        "Acc": evaluator.Pixel_Accuracy(),
+        "Acc_class": evaluator.Pixel_Accuracy_Class(),
+        "mIoU": evaluator.Mean_Intersection_over_Union(),
+        "fwIoU": evaluator.Frequency_Weighted_Intersection_over_Union(),
+        "video_mIoU": float(np.nanmean(list(vmiou.values()))),
+    }
+    logger.info(
+        "Acc:{Acc:.4f}, Acc_class:{Acc_class:.4f}, mIoU:{mIoU:.4f}, "
+        "fwIoU:{fwIoU:.4f}, video mIoU:{video_mIoU:.4f}".format(**metrics))
+    if args.saveroot:
+        os.makedirs(args.saveroot, exist_ok=True)
+        with open(os.path.join(args.saveroot, "vmiou.pkl"), "wb") as f:
+            pickle.dump(vmiou, f)
+    return metrics, vmiou
+
+
+def main():
+    args = build_eval_parser().parse_args()
+    cfg = default_cfg.clone()
+    cfg.merge_from_file(args.cfg)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    evaluate(cfg, args, max_videos=args.max_videos, is_save=args.is_save)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,132 @@
+"""Per-frame training driver (reference: train.py).
+
+CLI surface mirrors the reference trainer; execution is TPU-native: one
+jitted train step (forward+loss+backward+SGD+BN stats) over a GSPMD mesh
+with the batch sharded on 'data'.
+
+Usage (reference-compatible):
+  python train.py --cfg config/presets/vsp-resnet50dilated-ppm_deepsup.yaml \
+      --dataroot /path/VSPW_480p --batchsize 8 --lr 0.01 --cropsize 479 ...
+"""
+
+from __future__ import annotations
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .config import cfg as default_cfg
+from .config.args import build_train_parser, postprocess_args
+from .data import FrameDataset, PrefetchLoader, collate_frames
+from .models import ModelBuilder, SegmentationModule, segmentation_loss
+from .parallel import (TrainState, create_frame_optimizer, make_mesh,
+                       make_train_step, shard_batch)
+from .utils import AverageMeter, setup_logger
+from .utils.checkpoint import save_checkpoint
+
+
+def build_model(cfg, args, dtype=None):
+    enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
+                                     fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
+                                     remat=cfg.TPU.remat, args=args)
+    dec = ModelBuilder.build_decoder(cfg.MODEL.arch_decoder,
+                                     fc_dim=cfg.MODEL.fc_dim,
+                                     num_class=args.num_class, dtype=dtype)
+    return SegmentationModule(enc, dec)
+
+
+def train(cfg, args, logger=None, max_steps: int | None = None):
+    logger = logger or setup_logger()
+    dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else None
+    model = build_model(cfg, args, dtype)
+
+    dataset = FrameDataset(args, "train", seed=cfg.TRAIN.seed)
+    loader = PrefetchLoader(dataset, args.batchsize, collate_frames,
+                            shuffle=True, seed=cfg.TRAIN.seed,
+                            prefetch=cfg.TPU.prefetch)
+
+    crop = dataset.cropsize
+    key = jax.random.PRNGKey(cfg.TRAIN.seed)
+    sample = jnp.zeros((1, crop[0], crop[1], 3), jnp.float32)
+    variables = model.init({"params": key, "dropout": key}, sample, train=True)
+
+    max_iters = cfg.TRAIN.epoch_iters * args.totalepoch
+    tx = create_frame_optimizer(variables["params"], lr=args.lr,
+                                max_iters=max_iters, momentum=cfg.TRAIN.beta1,
+                                weight_decay=args.weight_decay,
+                                lr_pow=cfg.TRAIN.lr_pow)
+    state = TrainState.create(variables, tx)
+    n_params = sum(np.prod(p.shape) for p in
+                   jax.tree_util.tree_leaves(variables["params"]))
+    logger.info(f"model params: {n_params/1e6:.1f}M; "
+                f"iters/epoch: {len(loader)}")
+
+    n_data = cfg.TPU.mesh_data
+    if n_data in (-1, 0):
+        from .parallel.mesh import auto_data_axis
+        n_data = auto_data_axis(args.batchsize,
+                                len(jax.devices()) // cfg.TPU.mesh_model)
+    mesh = make_mesh(n_data, cfg.TPU.mesh_model)
+    step_fn = make_train_step(
+        model, tx, deep_sup_scale=cfg.TRAIN.deep_sup_scale)
+
+    batch_time, data_time = AverageMeter(), AverageMeter()
+    ave_loss, ave_acc = AverageMeter(), AverageMeter()
+    total_steps = 0
+    with mesh:
+        for epoch in range(cfg.TRAIN.start_epoch, args.totalepoch):
+            tic = time.time()
+            for i, batch in enumerate(loader):
+                data_time.update(time.time() - tic)
+                batch = shard_batch(mesh, batch)
+                state, metrics = step_fn(state, batch, key)
+                loss = float(metrics["loss"])
+                acc = float(metrics["acc"])
+                batch_time.update(time.time() - tic)
+                tic = time.time()
+                ave_loss.update(loss)
+                ave_acc.update(acc * 100)
+                if i % cfg.TRAIN.disp_iter == 0:
+                    logger.info(
+                        f"Epoch: [{epoch}][{i}/{len(loader)}], "
+                        f"Time: {batch_time.average():.2f}, "
+                        f"Data: {data_time.average():.2f}, "
+                        f"Loss: {ave_loss.average():.4f}, "
+                        f"Acc: {ave_acc.average():.2f}")
+                total_steps += 1
+                if max_steps and total_steps >= max_steps:
+                    break
+            ckpt = save_checkpoint(cfg.DIR, state, epoch + 1)
+            logger.info(f"saved checkpoint {ckpt}")
+            if max_steps and total_steps >= max_steps:
+                break
+    return state
+
+
+def main():
+    parser = build_train_parser()
+    args = parser.parse_args()
+    postprocess_args(args)
+    cfg = default_cfg.clone()
+    cfg.merge_from_file(args.cfg)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    cfg.DATASET.num_class = args.num_class
+    cfg.TRAIN.num_epoch = args.totalepoch
+    cfg.TRAIN.weight_decay = args.weight_decay
+    cfg.TRAIN.lr_encoder = cfg.TRAIN.lr_decoder = args.lr
+
+    logger = setup_logger()
+    logger.info(f"Loaded configuration file {args.cfg}")
+    os.makedirs(cfg.DIR, exist_ok=True)
+    with open(os.path.join(cfg.DIR, "config.yaml"), "w") as f:
+        f.write(cfg.dump())
+    np.random.seed(cfg.TRAIN.seed)
+    train(cfg, args, logger)
+
+
+if __name__ == "__main__":
+    main()
