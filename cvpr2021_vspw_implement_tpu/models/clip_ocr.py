@@ -1,0 +1,141 @@
+"""TCB-OCR — OCR with cross-frame region-context blending.
+
+Re-implements ``ClipOCRNet`` (reference: models/clip_ocr.py:23-198): all clip
+frames through the shared encoder, DSN head over all frames, per-frame
+spatial gather of region contexts averaged across the clip
+(``SpatialTemporalGather_Module``), OCR attention on the target frame (or on
+all frames with ``clipocr_all``), plus an optional streaming memory of the
+last ``memory_num`` region contexts at inference
+(reference: spatial_ocr_block.py:110-129, clip_ocr.py:124-131).
+
+TPU-native formulation of the memory: instead of a Python list mutated
+in-place, the caller threads a fixed-size ring buffer
+``(buf [M, B, K, C], count)`` through the jitted step — a pure scan carry.
+Region contexts are a few KB, so streaming costs nothing.
+
+Note: with ``clipocr_all`` the reference applies OCR attention on all
+(T+1)*B frames against a [B]-batched context, which only broadcasts when
+B == 1; we tile the blended context across frames (the intended semantics,
+identical for B == 1).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.interpolate import resize_bilinear
+from ..utils.metrics import pixel_acc
+from .decoders import _bn_bias_init
+from .layers import BatchNorm2d, Conv, ConvBNReLU, Dropout2d
+from .ocr import SpatialOCR, spatial_gather
+from .segmentation import nll_loss
+
+MemoryState = tuple  # (buf [M, B, K, C], count int32)
+
+
+def init_memory(memory_num: int, batch: int, num_class: int,
+                channels: int = 512) -> MemoryState:
+    return (jnp.zeros((memory_num + 1, batch, num_class, channels),
+                      jnp.float32), jnp.zeros((), jnp.int32))
+
+
+class ClipOCRNet(nn.Module):
+    encoder: nn.Module
+    num_class: int
+    clipocr_all: bool = False
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, imgs, train: bool = False,
+                 memory: MemoryState | None = None):
+        """imgs: [T+1, B, H, W, 3], target LAST.
+
+        Returns (main, dsn) in training; ((main,), new_memory?) at inference.
+        """
+        t1, b, h, w, _ = imgs.shape
+        clip_num = t1 - 1
+        flat = imgs.reshape(t1 * b, h, w, imgs.shape[-1])
+        conv_out = self.encoder(flat, train=train)
+
+        # DSN over all frames (reference: clip_ocr.py:120)
+        d = ConvBNReLU(512, dtype=self.dtype, bn_bias_init=_bn_bias_init,
+                       name="dsn_head_cbr")(conv_out[-2], train)
+        d = Dropout2d(0.05, name="dsn_drop")(d, train)
+        x_dsn = Conv(self.num_class, 1, dtype=self.dtype, name="dsn_cls")(d)
+
+        feat = Conv(512, 3, padding=1, dtype=self.dtype,
+                    name="conv_3x3_conv")(conv_out[-1])
+        feat = BatchNorm2d(512, dtype=self.dtype, bias_init=_bn_bias_init,
+                           name="conv_3x3_bn")(feat, train)
+        feat = nn.relu(feat)
+
+        # per-frame region contexts [T+1, B, K, C]
+        ctx_frames = spatial_gather(feat, x_dsn).reshape(
+            t1, b, self.num_class, 512)
+
+        new_memory = None
+        if memory is not None:
+            # streaming: push the clip's per-frame contexts into the ring
+            # buffer, then blend over the valid entries (reference keeps at
+            # most memory_num+1 entries after the final append loop)
+            buf, count = memory
+            m = buf.shape[0]
+            for i in range(t1):
+                buf = jnp.roll(buf, -1, axis=0).at[-1].set(
+                    ctx_frames[i].astype(jnp.float32))
+                count = jnp.minimum(count + 1, m)
+            valid = (jnp.arange(m) >= (m - count))[:, None, None, None]
+            context = jnp.sum(buf * valid, axis=0) / jnp.maximum(count, 1)
+            context = context.astype(feat.dtype)
+            new_memory = (buf, count)
+        else:
+            context = jnp.mean(ctx_frames.astype(jnp.float32),
+                               axis=0).astype(feat.dtype)   # [B, K, C]
+
+        ocr = SpatialOCR(512, 256, 512, dropout=0.05, dtype=self.dtype,
+                         name="spatial_ocr_head")
+        if self.clipocr_all:
+            ctx_all = jnp.broadcast_to(
+                context[None], (t1, b, self.num_class, 512)).reshape(
+                t1 * b, self.num_class, 512)
+            x = ocr(feat, ctx_all, train)
+            x = Conv(self.num_class, 1, dtype=self.dtype, name="head")(x)
+            if not train:
+                x = x.reshape(t1, b, *x.shape[1:])[-1]
+        else:
+            target_feat = feat.reshape(t1, b, *feat.shape[1:])[-1]
+            x = ocr(target_feat, context, train)
+            x = Conv(self.num_class, 1, dtype=self.dtype, name="head")(x)
+
+        if not train:
+            return ((x,), new_memory) if memory is not None else (x,)
+        return x, x_dsn
+
+
+def clip_ocr_loss(outs, batch, deep_sup_scale: float | None = 0.4,
+                  clipocr_all: bool = False):
+    """Training loss (reference: clip_ocr.py:141-198).
+
+    batch["labels"]: [T+1, B, H, W], target last.
+    """
+    main, dsn = outs
+    labels = batch["labels"]
+    t1, b, h, w = labels.shape
+    all_label = labels.reshape(t1 * b, h, w)
+    dsn_up = resize_bilinear(dsn.astype(jnp.float32), (h, w))
+    if clipocr_all:
+        pred = resize_bilinear(main.astype(jnp.float32), (h, w))
+        loss = nll_loss(pred, all_label)
+        acc_ref = jnp.where(all_label == 255, -1, all_label)
+    else:
+        label = labels[-1]
+        pred = resize_bilinear(main.astype(jnp.float32), (h, w))
+        loss = nll_loss(pred, label)
+        acc_ref = jnp.where(label == 255, -1, label)
+    if deep_sup_scale is not None:
+        loss = loss + deep_sup_scale * nll_loss(dsn_up, all_label)
+    acc = pixel_acc(pred, acc_ref)
+    return loss, acc
