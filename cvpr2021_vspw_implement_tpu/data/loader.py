@@ -78,19 +78,27 @@ def collate_frames(items):
     return {"img": imgs, "label": labels}
 
 
-def collate_clips_target_last(items):
-    """Clip samples ([imgs...], [labels...]) with target FIRST in the sample
-    (long-clip anchor order) → stacked [T, N, H, W, ...] with target LAST,
-    matching the ClipPSP/encoder input convention (reference batch-concats
-    others then target, clip_psp.py:142-143)."""
-    t = len(items[0][0])
-    imgs = np.stack([
-        np.stack([it[0][k] for it in items]) for k in list(range(1, t)) + [0]
-    ]).astype(np.float32)
-    labels = np.stack([
-        np.stack([it[1][k] for it in items]) for k in list(range(1, t)) + [0]
-    ]).astype(np.int32)
-    return {"img": imgs, "labels": labels}
+def make_collate_target_last(target_idx: int):
+    """Collate clips ([imgs...], [labels...]) → [T, N, ...] stacks with the
+    frame at ``target_idx`` moved to the END (the reference batch-concats
+    context frames then the target frame, e.g. clip_psp.py:142-143;
+    the target is clip[0] for long clips and the middle frame for
+    contiguous clips — train_clip2.py:50-82)."""
+
+    def collate(items):
+        t = len(items[0][0])
+        order = [k for k in range(t) if k != target_idx] + [target_idx]
+        imgs = np.stack([np.stack([it[0][k] for it in items])
+                         for k in order]).astype(np.float32)
+        labels = np.stack([np.stack([it[1][k] for it in items])
+                           for k in order]).astype(np.int32)
+        return {"img": imgs, "labels": labels}
+
+    return collate
+
+
+# long-clip convention: anchor (target) is sample frame 0
+collate_clips_target_last = make_collate_target_last(0)
 
 
 def collate_clips_in_order(items):

@@ -1,0 +1,179 @@
+"""Temporal-method evaluation driver (reference: test_clip2.py).
+
+Per-video loop over the clip eval datasets, computing global / per-video
+mIoU, in-loop VC (video consistency) and optional palette PNG dumps.
+Supports the clip_ocr streaming memory (cleaned at each video start —
+reference ``is_clean_memory``, test_clip2.py:44-48).
+
+TPU-native serving note: like the reference, each eval frame encodes its
+full context window; the jitted step is cached per (T, H, W) shape, so a
+video costs one compile.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import pickle
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from .config import cfg as default_cfg
+from .data import TestClipDataset, TestLongClipDataset, list_videos
+from .methods import LONGCLIP_METHODS, build_method
+from .models.segmentation import inference_pred
+from .utils import Evaluator, get_common, setup_logger, vspw_palette
+from .utils.checkpoint import load_checkpoint
+
+
+def build_eval_clip_parser():
+    p = argparse.ArgumentParser(description="TPU Video Segmentation Eval")
+    p.add_argument("--cfg", type=str, required=True)
+    p.add_argument("--dataroot", type=str, default="")
+    p.add_argument("--split", type=str, default="val")
+    p.add_argument("--num_class", type=int, default=124)
+    p.add_argument("--method", type=str, default="clip_psp")
+    p.add_argument("--load", type=str, default="")
+    p.add_argument("--saveroot", type=str, default="")
+    p.add_argument("--is_save", action="store_true")
+    p.add_argument("--lesslabel", action="store_true")
+    p.add_argument("--clip_num", type=int, default=4)
+    p.add_argument("--dilation_num", type=int, default=0)
+    p.add_argument("--dilation2", type=str, default="3,6,9")
+    p.add_argument("--vc_clip_num", type=int, default=8)
+    p.add_argument("--use_memory", type=lambda s: s.lower() in ("1", "true"),
+                   default=False)
+    p.add_argument("--memory_num", type=int, default=8)
+    p.add_argument("--clipocr_all", type=lambda s: s.lower() in ("1", "true"),
+                   default=False)
+    p.add_argument("--psp_weight", type=lambda s: s.lower() in ("1", "true"),
+                   default=False)
+    p.add_argument("--deepsup_scale", type=float, default=0.4)
+    p.add_argument("--st_weight", type=float, default=0.1)
+    p.add_argument("--allsup", type=lambda s: s.lower() in ("1", "true"),
+                   default=False)
+    p.add_argument("--allsup_scale", type=float, default=0.3)
+    p.add_argument("--linear_combine", type=lambda s: s.lower() in ("1", "true"),
+                   default=False)
+    p.add_argument("--distsoftmax", type=lambda s: s.lower() in ("1", "true"),
+                   default=False)
+    p.add_argument("--distnearest", type=lambda s: s.lower() in ("1", "true"),
+                   default=False)
+    p.add_argument("--temp", type=float, default=3)
+    p.add_argument("--max_distances", type=str, default="10")
+    p.add_argument("--max_videos", type=int, default=0)
+    p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
+    return p
+
+
+def evaluate_clip(cfg, args, variables=None, logger=None,
+                  max_videos: int = 0, is_save: bool = False):
+    logger = logger or setup_logger()
+    dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else None
+    model, _ = build_method(args.method, cfg, args, dtype)
+
+    use_memory = getattr(args, "use_memory", False) and args.method == "clip_ocr"
+
+    if variables is None:
+        key = jax.random.PRNGKey(0)
+        sample = jnp.zeros((args.clip_num, 1, 64, 64, 3), jnp.float32)
+        variables = model.init({"params": key, "dropout": key}, sample,
+                               train=True)
+        variables = {"params": variables["params"],
+                     "batch_stats": variables.get("batch_stats", {})}
+        if args.load:
+            import flax.serialization as ser
+            with open(args.load, "rb") as f:
+                tree = ser.msgpack_restore(f.read())
+            variables = {"params": tree["params"],
+                         "batch_stats": tree["batch_stats"]}
+            logger.info(f"loaded checkpoint {args.load}")
+
+    if use_memory:
+        @jax.jit
+        def infer(imgs, memory):
+            (outs,), new_mem = model.apply(variables, imgs, train=False,
+                                           memory=memory)
+            return inference_pred((outs,), imgs.shape[2:4]), new_mem
+    else:
+        @jax.jit
+        def infer(imgs):
+            outs = model.apply(variables, imgs, train=False)
+            return inference_pred(outs, imgs.shape[2:4])
+
+    ds_cls = TestLongClipDataset if args.method in LONGCLIP_METHODS \
+        else TestClipDataset
+    evaluator = Evaluator(args.num_class)
+    vmiou, vc_accs = {}, []
+    palette = vspw_palette()
+    videos = list_videos(args.dataroot, args.split)
+    if max_videos:
+        videos = videos[:max_videos]
+
+    for video in videos:
+        ds = ds_cls(args.dataroot, video, args)
+        eval_video = Evaluator(args.num_class)
+        gt_list, pred_list = [], []
+        memory = None
+        if use_memory:
+            from .models.clip_ocr import init_memory
+            memory = init_memory(args.memory_num, 1, args.num_class)
+        for i in range(len(ds)):
+            img, gt, clips, cliplabs, gtname = ds[i]
+            frames = clips + [img]  # context..., target (encoder order)
+            imgs = jnp.asarray(np.stack(frames)[:, None])  # [T, 1, H, W, 3]
+            if use_memory:
+                pred, memory = infer(imgs, memory)
+            else:
+                pred = infer(imgs)
+            pred = np.asarray(pred)[0]
+            evaluator.add_batch(gt[None], pred[None])
+            eval_video.add_batch(gt[None], pred[None])
+            gt_list.append(gt)
+            pred_list.append(pred)
+            if is_save and args.saveroot:
+                odir = os.path.join(args.saveroot, video)
+                os.makedirs(odir, exist_ok=True)
+                out = Image.fromarray(pred.astype(np.uint8), mode="P")
+                out.putpalette(palette)
+                out.save(os.path.join(odir, gtname))
+        h, w = gt_list[0].shape
+        vc_accs.extend(get_common(gt_list, pred_list, args.vc_clip_num, h, w))
+        vmiou[video] = eval_video.Mean_Intersection_over_Union()
+        logger.info(f"video {video}: mIoU {vmiou[video]:.4f}")
+
+    metrics = {
+        "Acc": evaluator.Pixel_Accuracy(),
+        "Acc_class": evaluator.Pixel_Accuracy_Class(),
+        "mIoU": evaluator.Mean_Intersection_over_Union(),
+        "fwIoU": evaluator.Frequency_Weighted_Intersection_over_Union(),
+        "video_mIoU": float(np.nanmean(list(vmiou.values()))),
+        "VC": float(np.nanmean(vc_accs)) if vc_accs else float("nan"),
+    }
+    logger.info(
+        "Acc:{Acc:.4f}, Acc_class:{Acc_class:.4f}, mIoU:{mIoU:.4f}, "
+        "fwIoU:{fwIoU:.4f}, video mIoU:{video_mIoU:.4f}, "
+        "VC{vc}:{VC:.4f}".format(vc=args.vc_clip_num, **metrics))
+    if args.saveroot:
+        os.makedirs(args.saveroot, exist_ok=True)
+        with open(os.path.join(args.saveroot, "vmiou.pkl"), "wb") as f:
+            pickle.dump(vmiou, f)
+    return metrics, vmiou
+
+
+def main():
+    args = build_eval_clip_parser().parse_args()
+    from .config.args import postprocess_args
+    postprocess_args(args)
+    cfg = default_cfg.clone()
+    cfg.merge_from_file(args.cfg)
+    if args.opts:
+        cfg.merge_from_list(args.opts)
+    evaluate_clip(cfg, args, max_videos=args.max_videos, is_save=args.is_save)
+
+
+if __name__ == "__main__":
+    main()
