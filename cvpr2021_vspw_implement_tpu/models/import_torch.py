@@ -1,0 +1,137 @@
+"""Import torch state_dicts into flax parameter trees.
+
+Enables per-pixel fidelity on the reference's frozen checkpoints
+(e.g. ``raft-things.pth`` for the flow subsystem, ImageNet-pretrained
+encoders): torch OIHW conv kernels → HWIO, BN weight/bias/running stats →
+scale/bias/batch_stats.  Name translation is rule-based per architecture.
+
+Loading the .pth files themselves uses ``torch.load`` on CPU (torch is a
+test/interop dependency only — nothing from torch touches the TPU path).
+"""
+
+from __future__ import annotations
+
+import re
+
+import numpy as np
+
+
+def _set(tree: dict, path: list[str], value):
+    node = tree
+    for p in path[:-1]:
+        node = node.setdefault(p, {})
+    node[path[-1]] = value
+
+
+def _conv_kernel(w: np.ndarray) -> np.ndarray:
+    """OIHW → HWIO."""
+    return np.transpose(w, (2, 3, 1, 0))
+
+
+def import_raft_state_dict(state_dict) -> dict:
+    """torch RAFT state_dict → {'params': ..., 'batch_stats': ...} matching
+    models.raft.RAFT's tree layout."""
+    params: dict = {}
+    stats: dict = {}
+
+    def conv_path(flax_parts):
+        return flax_parts + ["conv"]
+
+    for name, tensor in state_dict.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        name = name.removeprefix("module.")
+        parts = name.split(".")
+        net = parts[0]  # fnet | cnet | update_block
+
+        if net in ("fnet", "cnet"):
+            rest, leaf = parts[1:-1], parts[-1]
+            if rest[0] in ("conv1", "conv2"):
+                flax = [net, rest[0], "conv"]
+                _set(params, flax + ["kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            elif rest[0] == "norm1":
+                flax = [net, "norm1", "bnorm"]
+                _emit_bn(params, stats, flax, leaf, t)
+            else:
+                # layerX.Y.{conv1,conv2,norm1..3,downsample.{0,1}}
+                m = re.match(r"layer(\d)", rest[0])
+                blk = f"layer{m.group(1)}_{rest[1]}"
+                sub = rest[2]
+                if sub == "downsample":
+                    if rest[3] == "0":  # conv
+                        flax = [net, blk, "downsample", "conv"]
+                        _set(params, flax + ["kernel" if leaf == "weight" else "bias"],
+                             _conv_kernel(t) if leaf == "weight" else t)
+                    else:               # norm3
+                        _emit_bn(params, stats, [net, blk, "norm3", "bnorm"],
+                                 leaf, t)
+                elif sub.startswith("conv"):
+                    flax = [net, blk, sub, "conv"]
+                    _set(params, flax + ["kernel" if leaf == "weight" else "bias"],
+                         _conv_kernel(t) if leaf == "weight" else t)
+                elif sub.startswith("norm"):
+                    _emit_bn(params, stats, [net, blk, sub, "bnorm"], leaf, t)
+        elif net == "update_block":
+            rest, leaf = parts[1:-1], parts[-1]
+            if rest[0] == "encoder":
+                flax = ["update_block", "encoder", rest[1], "conv"]
+            elif rest[0] == "gru":
+                flax = ["update_block", "gru", rest[1]]  # bare nn.Conv
+            elif rest[0] == "flow_head":
+                flax = ["update_block", "flow_head", rest[1], "conv"]
+            elif rest[0] == "mask":
+                flax = ["update_block", f"mask_{rest[1]}", "conv"]
+            else:
+                raise KeyError(name)
+            _set(params, flax + ["kernel" if leaf == "weight" else "bias"],
+                 _conv_kernel(t) if leaf == "weight" else t)
+        else:
+            raise KeyError(f"unrecognized RAFT param {name}")
+    return {"params": params, "batch_stats": stats}
+
+
+def _emit_bn(params, stats, flax_prefix, leaf, t):
+    if leaf == "weight":
+        _set(params, flax_prefix + ["scale"], t)
+    elif leaf == "bias":
+        _set(params, flax_prefix + ["bias"], t)
+    elif leaf == "running_mean":
+        _set(stats, flax_prefix + ["mean"], t)
+    elif leaf == "running_var":
+        _set(stats, flax_prefix + ["var"], t)
+    # num_batches_tracked is dropped
+
+
+def load_raft_checkpoint(path: str) -> dict:
+    """Load raft-things.pth (torch) → flax variables for models.raft.RAFT."""
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return import_raft_state_dict(sd)
+
+
+def merge_variables(init_vars: dict, imported: dict) -> dict:
+    """Overlay imported params/batch_stats onto an init tree (strict=False:
+    missing keys keep their init values, like the reference's
+    load_state_dict(strict=False) at models/models.py:582-583)."""
+    import jax
+
+    def overlay(base, over):
+        out = dict(base)
+        for k, v in over.items():
+            if k in out and isinstance(out[k], dict) and isinstance(v, dict):
+                out[k] = overlay(out[k], v)
+            else:
+                out[k] = jax.numpy.asarray(v)
+        return out
+
+    merged = dict(init_vars)
+    for coll in imported:
+        if coll in merged:
+            merged[coll] = overlay(merged[coll], imported[coll])
+        else:
+            merged[coll] = jax.tree_util.tree_map(jax.numpy.asarray,
+                                                  imported[coll])
+    return merged

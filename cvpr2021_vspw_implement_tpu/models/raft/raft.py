@@ -1,0 +1,135 @@
+"""RAFT optical flow in JAX (reference: RAFT_core/raft.py:26-127).
+
+A frozen flow estimator used by NetWarp/ETC task modules and the TC metric:
+feature+context encoders, a 4-level all-pairs correlation pyramid, and an
+iterative SepConvGRU refinement with convex 8x upsampling.
+
+TPU-first structure: the refinement loop is a ``lax.scan`` with static
+iteration count; the correlation volume is one MXU matmul; lookups are
+static-shape gathers (see corr.py); the whole thing jits into a single
+program.  All parameters live under this module and are excluded from
+optimization by the task modules (reference freezes them at load,
+raft.py:43-45).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ...ops.interpolate import resize_bilinear
+from .corr import build_corr_pyramid, lookup_corr_pyramid
+from .extractor import BasicEncoder
+from .update import BasicUpdateBlock
+
+
+def coords_grid(batch: int, ht: int, wd: int) -> jnp.ndarray:
+    """[B, H, W, 2] (x, y) pixel coordinate grid (utils.py:76-79)."""
+    xs = jax.lax.broadcasted_iota(jnp.float32, (batch, ht, wd), 2)
+    ys = jax.lax.broadcasted_iota(jnp.float32, (batch, ht, wd), 1)
+    return jnp.stack([xs, ys], axis=-1)
+
+
+def upflow8(flow: jnp.ndarray) -> jnp.ndarray:
+    """8x bilinear (align_corners=True) upsample of [B,H,W,2], scaled by 8."""
+    b, h, w, _ = flow.shape
+    return 8.0 * resize_bilinear(flow, (8 * h, 8 * w), align_corners=True)
+
+
+def upsample_flow_convex(flow: jnp.ndarray, mask: jnp.ndarray) -> jnp.ndarray:
+    """Convex-combination 8x upsampling (reference: raft.py:61-72).
+
+    flow: [B, H, W, 2]; mask: [B, H, W, 576] laid out as (9, 8, 8) —
+    9 taps outer, then the 8x8 sub-pixel grid (torch view(N,1,9,8,8,H,W)).
+    """
+    b, h, w, _ = flow.shape
+    m = mask.reshape(b, h, w, 9, 8, 8).astype(jnp.float32)
+    m = jax.nn.softmax(m, axis=3)
+
+    f = 8.0 * flow.astype(jnp.float32)
+    fp = jnp.pad(f, ((0, 0), (1, 1), (1, 1), (0, 0)))
+    # 3x3 neighborhood, row-major (dy, dx) — torch F.unfold order
+    taps = [fp[:, 1 + dy:1 + dy + h, 1 + dx:1 + dx + w, :]
+            for dy in (-1, 0, 1) for dx in (-1, 0, 1)]
+    nb = jnp.stack(taps, axis=3)                        # [B, H, W, 9, 2]
+    up = jnp.einsum("bhwkyx,bhwkc->bhwyxc", m, nb)      # [B, H, W, 8, 8, 2]
+    return up.transpose(0, 1, 3, 2, 4, 5).reshape(b, 8 * h, 8 * w, 2)
+
+
+class RAFT(nn.Module):
+    """imgs in [0, 255], NHWC.  ``test_mode`` returns (lowres, full) flow."""
+
+    iters: int = 12
+    corr_levels: int = 4
+    corr_radius: int = 4
+    hidden_dim: int = 128
+    context_dim: int = 128
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, image1, image2, flow_init=None, test_mode: bool = False):
+        image1 = 2 * (image1 / 255.0) - 1.0
+        image2 = 2 * (image2 / 255.0) - 1.0
+
+        fnet = BasicEncoder(256, "instance", dtype=self.dtype, name="fnet")
+        # shared weights over both frames, exactly like fnet([im1, im2])
+        pair = jnp.concatenate([image1, image2], axis=0)
+        fmaps = fnet(pair).astype(jnp.float32)
+        fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
+        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+
+        cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch",
+                            dtype=self.dtype, name="cnet")(image1)
+        net = jnp.tanh(cnet[..., :self.hidden_dim].astype(jnp.float32))
+        inp = nn.relu(cnet[..., self.hidden_dim:].astype(jnp.float32))
+
+        b, h8, w8 = fmap1.shape[0], fmap1.shape[1], fmap1.shape[2]
+        coords0 = coords_grid(b, h8, w8)
+        coords1 = coords0 if flow_init is None else coords0 + flow_init
+
+        update = BasicUpdateBlock(self.hidden_dim, dtype=self.dtype,
+                                  name="update_block")
+
+        mask0 = jnp.zeros((b, h8, w8, 64 * 9), jnp.float32)
+
+        def step(carry, _):
+            net, coords1, _ = carry
+            coords1 = jax.lax.stop_gradient(coords1)
+            corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
+            flow = coords1 - coords0
+            net, up_mask, delta = update(net, inp, corr.astype(net.dtype),
+                                         flow)
+            coords1 = coords1 + delta.astype(jnp.float32)
+            return (net, coords1, up_mask.astype(jnp.float32)), None
+
+        (net, coords1, up_mask), _ = jax.lax.scan(
+            step, (net, coords1, mask0), None, length=self.iters)
+
+        flow_low = coords1 - coords0
+        flow_up = upsample_flow_convex(flow_low, up_mask)
+        if test_mode:
+            return flow_low, flow_up
+        return flow_up
+
+
+def pad_to_multiple_of_8(x: jnp.ndarray):
+    """InputPadder 'sintel' mode (reference: RAFT_core/utils/utils.py:7-25).
+
+    x: [B, H, W, C] → (padded, (top, bottom, left, right)).
+    """
+    h, w = x.shape[1:3]
+    pad_h = (((h // 8) + 1) * 8 - h) % 8
+    pad_w = (((w // 8) + 1) * 8 - w) % 8
+    pads = (pad_h // 2, pad_h - pad_h // 2, pad_w // 2, pad_w - pad_w // 2)
+    padded = jnp.pad(x, ((0, 0), (pads[0], pads[1]), (pads[2], pads[3]),
+                         (0, 0)))
+    return padded, pads
+
+
+def unpad(x: jnp.ndarray, pads) -> jnp.ndarray:
+    t, b, l, r = pads
+    h, w = x.shape[1:3]
+    return x[:, t:h - b if b else h, l:w - r if r else w, :]
