@@ -48,7 +48,7 @@ def _build_netwarp(cfg, args, dtype, ocr: bool = False):
                                      remat=cfg.TPU.remat, args=args)
     model = NetWarp(encoder=enc, num_class=args.num_class,
                     fc_dim=cfg.MODEL.fc_dim, ocr=ocr, dtype=dtype)
-    loss = partial(netwarp_loss, deep_sup_scale=args.deepsup_scale)
+    loss = partial(netwarp_loss, deep_sup_scale=args.deepsup_scale, ocr=ocr)
     return model, loss
 
 
@@ -60,7 +60,7 @@ def _build_etc(cfg, args, dtype, ocr: bool = False):
     model = ETC(encoder=enc, num_class=args.num_class,
                 fc_dim=cfg.MODEL.fc_dim, ocr=ocr, dtype=dtype)
     loss = partial(etc_loss, deep_sup_scale=args.deepsup_scale,
-                   st_weight=args.st_weight)
+                   st_weight=args.st_weight, ocr=ocr)
     return model, loss
 
 

@@ -31,7 +31,7 @@ from ..utils.metrics import pixel_acc
 from .decoders import _bn_bias_init
 from .layers import BatchNorm2d, Conv, ConvBNReLU, Dropout2d
 from .ocr import SpatialOCR, spatial_gather
-from .segmentation import nll_loss
+from .segmentation import nll_from_logprobs
 
 MemoryState = tuple  # (buf [M, B, K, C], count int32)
 
@@ -121,21 +121,26 @@ def clip_ocr_loss(outs, batch, deep_sup_scale: float | None = 0.4,
 
     batch["labels"]: [T+1, B, H, W], target last.
     """
+    import jax
+
     main, dsn = outs
     labels = batch["labels"]
     t1, b, h, w = labels.shape
     all_label = labels.reshape(t1 * b, h, w)
-    dsn_up = resize_bilinear(dsn.astype(jnp.float32), (h, w))
+    # reference order: log_softmax at feature res, then bilinear upsample,
+    # then NLL (clip_ocr.py:152-161, 182-196)
+    dsn_logp = resize_bilinear(
+        jax.nn.log_softmax(dsn.astype(jnp.float32), axis=-1), (h, w))
+    logp = resize_bilinear(
+        jax.nn.log_softmax(main.astype(jnp.float32), axis=-1), (h, w))
     if clipocr_all:
-        pred = resize_bilinear(main.astype(jnp.float32), (h, w))
-        loss = nll_loss(pred, all_label)
+        loss = nll_from_logprobs(logp, all_label)
         acc_ref = jnp.where(all_label == 255, -1, all_label)
     else:
         label = labels[-1]
-        pred = resize_bilinear(main.astype(jnp.float32), (h, w))
-        loss = nll_loss(pred, label)
+        loss = nll_from_logprobs(logp, label)
         acc_ref = jnp.where(label == 255, -1, label)
     if deep_sup_scale is not None:
-        loss = loss + deep_sup_scale * nll_loss(dsn_up, all_label)
-    acc = pixel_acc(pred, acc_ref)
+        loss = loss + deep_sup_scale * nll_from_logprobs(dsn_logp, all_label)
+    acc = pixel_acc(logp, acc_ref)
     return loss, acc

@@ -34,7 +34,7 @@ from ..ops.pooling import adaptive_avg_pool2d, global_avg_pool
 from ..utils.metrics import pixel_acc
 from .decoders import _bn_bias_init
 from .layers import BatchNorm2d, Conv, Dropout2d
-from .segmentation import nll_loss
+from .segmentation import nll_from_logprobs
 
 
 class ClipPSP(nn.Module):
@@ -122,12 +122,16 @@ def clip_psp_loss(outs, batch, deep_sup_scale: float | None = 0.4):
     labels = batch["labels"]
     t1, b, h, w = labels.shape
     label = labels[-1]
-    pred = resize_bilinear(main.astype(jnp.float32), (h, w))
-    loss = nll_loss(pred, label)
+    # reference order: log_softmax at feature res, THEN bilinear upsample,
+    # then NLL (clip_psp.py:199-203, 211-215)
+    logp = resize_bilinear(
+        jax.nn.log_softmax(main.astype(jnp.float32), axis=-1), (h, w))
+    loss = nll_from_logprobs(logp, label)
     if deep_sup_scale is not None:
         all_label = labels.reshape(t1 * b, h, w)
-        d = resize_bilinear(deepsup.astype(jnp.float32), (h, w))
-        loss = loss + deep_sup_scale * nll_loss(d, all_label)
+        dlogp = resize_bilinear(
+            jax.nn.log_softmax(deepsup.astype(jnp.float32), axis=-1), (h, w))
+        loss = loss + deep_sup_scale * nll_from_logprobs(dlogp, all_label)
     acc_label = jnp.where(label == 255, -1, label)
-    acc = pixel_acc(pred, acc_label)
+    acc = pixel_acc(logp, acc_label)
     return loss, acc

@@ -1,0 +1,188 @@
+"""NetWarp: flow-guided feature warping (reference: models/netwarp.py,
+models/netwarp_ocr.py).
+
+Pipeline (netwarp.py:150-239): frozen RAFT flow between the target and the
+previous frame (denormalized 0-255 inputs, padded to /8), a small FlowCNN
+refiner over (flow, img1, img2, img2-img1), shared-encoder features for both
+frames, bilinear flow-warp of the previous frame's C5 and decoder features,
+learned per-channel blend weights w0/w1, classifier on the blended features.
+
+Reference quirks preserved:
+  * the flow is resized to feature resolution with NEAREST and kept in
+    full-resolution pixel units (no /8 rescale) — netwarp.py:198, 214;
+  * encoder input order is [target, prev] (netwarp.py:196);
+  * netwarp_ocr's deep supervision pairs dsn preds in [target, prev] order
+    against labels concatenated [prev, target] (netwarp_ocr.py:287-295).
+
+RAFT parameters live under the 'raft' scope and are frozen: gradients are
+stopped at the flow and the optimizer zeroes the 'raft' subtree (reference
+sets requires_grad=False, RAFT_core/raft.py:43-45).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..data.datasets import MEAN, STD
+from ..ops.interpolate import resize_bilinear, resize_nearest
+from ..ops.warp import flowwarp
+from ..utils.metrics import pixel_acc
+from .decoders import PPMDeepsupClip, _bn_bias_init
+from .layers import BatchNorm2d, Conv, ConvBNReLU, Dropout2d
+from .ocr import SpatialOCR, spatial_gather
+from .raft import RAFT, pad_to_multiple_of_8, unpad
+from .segmentation import nll_from_logprobs
+
+
+def denormalize_255(img: jnp.ndarray) -> jnp.ndarray:
+    """Undo ImageNet normalization back to 0-255 (netwarp.py:161-168)."""
+    return (img * jnp.asarray(STD) + jnp.asarray(MEAN)) * 255.0
+
+
+class FlowCNN(nn.Module):
+    """Flow refiner (reference: models/netwarp.py:49-63)."""
+
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, img1, img2, flow, train: bool = False):
+        x = jnp.concatenate([flow, img1, img2, img2 - img1], axis=-1)
+        x = ConvBNReLU(16, dtype=self.dtype, bn_bias_init=_bn_bias_init,
+                       name="conv1")(x, train)
+        x = ConvBNReLU(32, dtype=self.dtype, bn_bias_init=_bn_bias_init,
+                       name="conv2")(x, train)
+        x = ConvBNReLU(2, dtype=self.dtype, bn_bias_init=_bn_bias_init,
+                       name="conv3")(x, train)
+        x = jnp.concatenate([flow, x], axis=-1)
+        return ConvBNReLU(2, dtype=self.dtype, bn_bias_init=_bn_bias_init,
+                          name="conv4")(x, train)
+
+
+class SpatialOCRAsDec(nn.Module):
+    """OCR decoder without classifier head: returns (512-d feats, dsn logits)
+    (reference: netwarp_ocr.py:65-115)."""
+
+    num_class: int
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, conv_out, train: bool = False):
+        d = ConvBNReLU(512, dtype=self.dtype, bn_bias_init=_bn_bias_init,
+                       name="dsn_head_cbr")(conv_out[-2], train)
+        d = Dropout2d(0.05, name="dsn_drop")(d, train)
+        x_dsn = Conv(self.num_class, 1, dtype=self.dtype, name="dsn_cls")(d)
+        x = Conv(512, 3, padding=1, dtype=self.dtype,
+                 name="conv_3x3_conv")(conv_out[-1])
+        x = BatchNorm2d(512, dtype=self.dtype, bias_init=_bn_bias_init,
+                        name="conv_3x3_bn")(x, train)
+        x = nn.relu(x)
+        context = spatial_gather(x, x_dsn)
+        x = SpatialOCR(512, 256, 512, dropout=0.05, dtype=self.dtype,
+                       name="spatial_ocr_head")(x, context, train)
+        return x, x_dsn
+
+
+class NetWarp(nn.Module):
+    encoder: nn.Module
+    num_class: int
+    fc_dim: int = 2048
+    ocr: bool = False
+    raft_iters: int = 20
+    dtype: Any = None
+
+    def _flow(self, target, prev, train):
+        c_img_f = denormalize_255(target)
+        c_pre_f = denormalize_255(prev)
+        pad_t, pads = pad_to_multiple_of_8(c_img_f)
+        pad_p, _ = pad_to_multiple_of_8(c_pre_f)
+        _, flow = RAFT(iters=self.raft_iters, dtype=self.dtype,
+                       name="raft")(pad_t, pad_p, test_mode=True)
+        flow = jax.lax.stop_gradient(unpad(flow, pads))
+        return FlowCNN(dtype=self.dtype, name="flowcnn")(
+            c_img_f, c_pre_f, flow, train)
+
+    @nn.compact
+    def __call__(self, imgs, train: bool = False):
+        """imgs: [2, B, H, W, 3] — [prev, target] (target LAST)."""
+        prev, target = imgs[0], imgs[1]
+        b = target.shape[0]
+        flow = self._flow(target, prev, train)
+
+        enc_in = jnp.concatenate([target, prev], axis=0)  # target first!
+        conv_out = self.encoder(enc_in, train=train)
+        c5 = conv_out[-1]
+        c5_t, c5_p = c5[:b], c5[b:]
+        flow_1 = resize_nearest(flow, c5.shape[1:3])
+        warp_1 = flowwarp(c5_p, flow_1.astype(c5.dtype))
+        w0_0 = self.param("w0_0", nn.initializers.ones, (self.fc_dim,))
+        w0_1 = self.param("w0_1", nn.initializers.zeros, (self.fc_dim,))
+        new_c5_t = w0_0 * c5_t + w0_1 * warp_1
+        conv_out = list(conv_out)
+        conv_out[-1] = jnp.concatenate([new_c5_t, c5_p], axis=0)
+
+        if self.ocr:
+            feats, dsn = SpatialOCRAsDec(self.num_class, dtype=self.dtype,
+                                         name="decoder")(conv_out, train)
+            blend_dim = 512
+            f_t, f_p = feats[:b], feats[b:]
+            flow_2 = resize_nearest(flow, feats.shape[1:3])
+            warp_2 = flowwarp(f_p, flow_2.astype(feats.dtype))
+            w1_0 = self.param("w1_0", nn.initializers.ones, (blend_dim,))
+            w1_1 = self.param("w1_1", nn.initializers.zeros, (blend_dim,))
+            new_feat = w1_0 * f_t + w1_1 * warp_2
+            pred = Conv(self.num_class, 1, dtype=self.dtype,
+                        name="head")(new_feat)
+            return (pred,) if not train else (pred, dsn)
+
+        dec = PPMDeepsupClip(self.num_class, self.fc_dim, dtype=self.dtype,
+                             name="decoder")
+        deepsup, _emb, ppm_out = dec(conv_out, train)
+        blend_dim = self.fc_dim + 4 * 512
+        f_t, f_p = ppm_out[:b], ppm_out[b:]
+        flow_2 = resize_nearest(flow, ppm_out.shape[1:3])
+        warp_2 = flowwarp(f_p, flow_2.astype(ppm_out.dtype))
+        w1_0 = self.param("w1_0", nn.initializers.ones, (blend_dim,))
+        w1_1 = self.param("w1_1", nn.initializers.zeros, (blend_dim,))
+        new_feat = w1_0 * f_t + w1_1 * warp_2
+        x = Conv(512, 3, padding=1, use_bias=False, dtype=self.dtype,
+                 name="conv_last_0")(new_feat)
+        x = BatchNorm2d(512, dtype=self.dtype, bias_init=_bn_bias_init,
+                        name="conv_last_1")(x, train)
+        x = nn.relu(x)
+        x = Dropout2d(0.1, name="conv_last_drop")(x, train)
+        pred = Conv(self.num_class, 1, dtype=self.dtype,
+                    name="conv_last_cls")(x)
+        return (pred,) if not train else (pred, deepsup)
+
+
+def netwarp_loss(outs, batch, deep_sup_scale: float | None = 0.4,
+                 ocr: bool = False):
+    """Training loss (reference: netwarp.py:219-239, netwarp_ocr.py:280-299).
+
+    batch["labels"]: [2, B, H, W] — [prev, target].
+    """
+    pred, deepsup = outs
+    labels = batch["labels"]
+    label = labels[-1]
+    h, w = label.shape[1:3]
+    logp = resize_bilinear(
+        jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1), (h, w))
+    loss = nll_from_logprobs(logp, label)
+    if deep_sup_scale is not None:
+        dlogp = resize_bilinear(
+            jax.nn.log_softmax(deepsup.astype(jnp.float32), axis=-1), (h, w))
+        b = label.shape[0]
+        if ocr:
+            # quirk: dsn preds are [target, prev] but the reference's label
+            # concat is [prev, target] (netwarp_ocr.py:287-295)
+            all_label = jnp.concatenate([labels[0], labels[1]], axis=0)
+            loss = loss + deep_sup_scale * nll_from_logprobs(dlogp, all_label)
+        else:
+            loss = loss + deep_sup_scale * nll_from_logprobs(dlogp[:b], label)
+    acc_label = jnp.where(label == 255, -1, label)
+    acc = pixel_acc(logp, acc_label)
+    return loss, acc

@@ -95,18 +95,26 @@ class RAFT(nn.Module):
 
         mask0 = jnp.zeros((b, h8, w8, 64 * 9), jnp.float32)
 
-        def step(carry, _):
-            net, coords1, _ = carry
+        def one_iter(net, coords1):
             coords1 = jax.lax.stop_gradient(coords1)
             corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
             flow = coords1 - coords0
             net, up_mask, delta = update(net, inp, corr.astype(net.dtype),
                                          flow)
             coords1 = coords1 + delta.astype(jnp.float32)
-            return (net, coords1, up_mask.astype(jnp.float32)), None
+            return net, coords1, up_mask.astype(jnp.float32)
 
-        (net, coords1, up_mask), _ = jax.lax.scan(
-            step, (net, coords1, mask0), None, length=self.iters)
+        if self.is_initializing():
+            # create the update block's params with one unrolled iteration —
+            # flax can't create params inside lax.scan
+            net, coords1, up_mask = one_iter(net, coords1)
+        else:
+            def step(carry, _):
+                net, coords1, _ = carry
+                return one_iter(net, coords1), None
+
+            (net, coords1, up_mask), _ = jax.lax.scan(
+                step, (net, coords1, mask0), None, length=self.iters)
 
         flow_low = coords1 - coords0
         flow_up = upsample_flow_convex(flow_low, up_mask)

@@ -34,19 +34,36 @@ class SegmentationModule(nn.Module):
         return self.decoder(conv_out, train=train)
 
 
-def nll_loss(logits: jnp.ndarray, label: jnp.ndarray,
-             ignore_index: int = 255) -> jnp.ndarray:
-    """Cross entropy on logits == NLLLoss(log_softmax) of the reference.
+def nll_from_logprobs(logp: jnp.ndarray, label: jnp.ndarray,
+                      ignore_index: int = 255) -> jnp.ndarray:
+    """torch NLLLoss(ignore_index) on (possibly resized) log-probabilities.
 
-    logits: [N, H, W, C] (raw); label: [N, H, W] int with ignore_index.
-    Mean over non-ignored pixels (torch NLLLoss default reduction).
+    Mean over non-ignored pixels (torch default reduction).
     """
-    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
     valid = label != ignore_index
     lab = jnp.where(valid, label, 0).astype(jnp.int32)
-    picked = jnp.take_along_axis(logp, lab[..., None], axis=-1)[..., 0]
+    picked = jnp.take_along_axis(logp.astype(jnp.float32),
+                                 lab[..., None], axis=-1)[..., 0]
     loss_sum = -jnp.sum(picked * valid)
     return loss_sum / jnp.maximum(jnp.sum(valid), 1)
+
+
+def nll_loss(logits: jnp.ndarray, label: jnp.ndarray,
+             ignore_index: int = 255) -> jnp.ndarray:
+    """Cross entropy on logits == NLLLoss(log_softmax) of the reference."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    return nll_from_logprobs(logp, label, ignore_index)
+
+
+def upsampled_logprob_loss(logits: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarray:
+    """The reference's exact training-loss order: log_softmax at FEATURE
+    resolution, bilinear upsample of the log-probabilities to the label
+    size, then NLL (reference: decoder applies log_softmax in-forward,
+    models/models.py:954-957, and the task wrapper interpolates that,
+    models/models.py:96-104)."""
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    logp = resize_bilinear(logp, label.shape[1:3])
+    return nll_from_logprobs(logp, label)
 
 
 def segmentation_loss(outputs, label: jnp.ndarray,
@@ -54,19 +71,18 @@ def segmentation_loss(outputs, label: jnp.ndarray,
     """Training loss + pixel acc (reference: models/models.py:82-108).
 
     outputs: tuple of logits — (main,) or (main, deepsup), at feature
-    resolution; both are bilinearly upsampled to the label size first.
+    resolution.  Replicates the reference order exactly: log-probs are
+    computed at feature resolution and bilinearly upsampled before NLL.
     label: [N, H, W] int32 with 255 = ignore.
     """
     h, w = label.shape[1:3]
-    pred = resize_bilinear(outputs[0].astype(jnp.float32), (h, w))
-    loss = nll_loss(pred, label)
+    logp = jax.nn.log_softmax(outputs[0].astype(jnp.float32), axis=-1)
+    logp = resize_bilinear(logp, (h, w))
+    loss = nll_from_logprobs(logp, label)
     if deep_sup_scale is not None and len(outputs) > 1:
-        pred_deepsup = resize_bilinear(outputs[1].astype(jnp.float32), (h, w))
-        loss = loss + deep_sup_scale * nll_loss(pred_deepsup, label)
-    # reference computes acc on pred vs label with ignore<0 semantics; our
-    # labels use 255 for ignore, so mask it to -1 first
+        loss = loss + deep_sup_scale * upsampled_logprob_loss(outputs[1], label)
     acc_label = jnp.where(label == 255, -1, label)
-    acc = pixel_acc(pred, acc_label)
+    acc = pixel_acc(logp, acc_label)  # reference argmaxes the resized log-probs
     return loss, acc
 
 

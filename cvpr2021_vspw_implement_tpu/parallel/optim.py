@@ -57,9 +57,17 @@ def make_masks(params, decay_rule: str, encoder_key: str = "encoder"):
 
 
 def make_lr_mult(params, encoder_key: str = "encoder",
-                 encoder_mult: float = 0.1):
+                 encoder_mult: float = 0.1,
+                 frozen_prefixes: tuple = ("raft",)):
+    """Per-param LR multipliers: 0.1x under the encoder, 0 for frozen
+    subtrees (the RAFT flow net is loaded frozen — reference
+    RAFT_core/raft.py:43-45 sets requires_grad=False, so those params never
+    reach the optimizer)."""
     def mult_leaf(path, _):
         name = _path_str(path)
+        for pref in frozen_prefixes:
+            if name.startswith(pref) or f"/{pref}/" in name:
+                return 0.0
         return encoder_mult if name.startswith(encoder_key) else 1.0
     return jax.tree_util.tree_map_with_path(mult_leaf, params)
 
