@@ -72,7 +72,8 @@ def _build_our_warp(cfg, args, dtype):
     model = ClipWarpNet(encoder=enc, num_class=args.num_class,
                         fc_dim=cfg.MODEL.fc_dim, args=args, dtype=dtype)
     loss = partial(clip_warp_loss, deep_sup_scale=args.deepsup_scale,
-                   allsup=args.allsup, allsup_scale=args.allsup_scale)
+                   allsup=args.allsup, allsup_scale=args.allsup_scale,
+                   fix=getattr(args, "fix", False))
     return model, loss
 
 

@@ -1,0 +1,186 @@
+"""our_warp: local cost-volume feature warping (reference: models/warp_our.py,
+ClipWarpNet wrapper at models/models.py:116-282).
+
+WarpNet embeds the decoder's 512-d clip features twice (128-d for distance
+maps, 256-d for the warped features), builds local squared-distance cost
+volumes between the target and each context frame at radii ``max_distances``,
+turns them into aggregation weights (sigmoid / inverse-distance softmax /
+"nearest"), warp-aggregates the context features, and means everything into
+the target embedding.
+
+Reference quirks preserved:
+  * all aggregation modes divide by k^2 (avgpool over the window) even with
+    softmax weights (warp_our.py:139-152);
+  * ``distnearest`` gathers at the argMAX distance (warp_our.py:145-151) —
+    i.e. the farthest window position (with +1e20 at out-of-bounds) — a
+    faithful copy of the reference behavior;
+  * the distance maps come from emb_2 (128-d) while warping moves emb (256-d).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Sequence
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from ..ops.interpolate import resize_bilinear
+from ..ops.local_pairwise import (local_pairwise_dist, local_weighted_aggregate,
+                                  local_window_gather)
+from ..utils.metrics import pixel_acc
+from .decoders import PPMDeepsupClip, _bn_bias_init
+from .layers import Conv, ConvBNReLU, Dropout2d
+from .segmentation import nll_from_logprobs
+
+
+def warp_one_scale(dist: jnp.ndarray, other: jnp.ndarray, r: int,
+                   distsoftmax: bool, distnearest: bool, temp: float,
+                   emb_dim: int) -> jnp.ndarray:
+    """One (scale, frame) aggregation (reference: warp_our.py:131-160)."""
+    b, h, w, k, _ = dist.shape
+    if distsoftmax:
+        flat = dist.reshape(b, h, w, k * k)
+        wts = jax.nn.softmax(1.0 / (flat * temp + 1e-5), axis=-1)
+        wts = wts.reshape(b, h, w, k, k)
+        return local_weighted_aggregate(other, wts, r) / (k * k)
+    if distnearest:
+        flat = dist.reshape(b, h, w, k * k)
+        idx = jnp.argmax(flat, axis=-1)                       # quirk: max
+        windows = local_window_gather(other, r).reshape(b, h, w, k * k, -1)
+        return jnp.take_along_axis(
+            windows, idx[..., None, None].repeat(windows.shape[-1], -1),
+            axis=3)[:, :, :, 0, :]
+    wts = 1.0 - (jax.nn.sigmoid(dist.astype(jnp.float32)) - 0.5) * 2.0
+    return local_weighted_aggregate(other, wts, r) / (k * k)
+
+
+class WarpNet(nn.Module):
+    """Cost-volume warping head over clip embeddings (warp_our.py:84-189)."""
+
+    num_class: int
+    clip_num: int                       # T+1 frames total
+    max_distances: Sequence[int] = (10,)
+    emb_dim: int = 256
+    fc_dim: int = 128                   # emb_2 (distance) width
+    linear_combine: bool = False
+    distsoftmax: bool = False
+    distnearest: bool = False
+    temp: float = 3.0
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, clip_embs, train: bool = False):
+        """clip_embs: [(T+1)*B, h, w, 512], target frame LAST group.
+
+        Returns (logits [B, h, w, K], emb2 [(T+1)*B, h, w, fc_dim]).
+        """
+        t1 = self.clip_num
+        tb = clip_embs.shape[0]
+        b = tb // t1
+        emb2 = ConvBNReLU(self.fc_dim, dtype=self.dtype,
+                          bn_bias_init=_bn_bias_init, name="emb_2")(clip_embs, train)
+        emb_s = ConvBNReLU(self.emb_dim, dtype=self.dtype,
+                           bn_bias_init=_bn_bias_init, name="emb")(clip_embs, train)
+        e2 = emb2.reshape(t1, b, *emb2.shape[1:])
+        es = emb_s.reshape(t1, b, *emb_s.shape[1:])
+        target_e2, target_es = e2[-1], es[-1]
+
+        final = [target_es]
+        for f in range(t1 - 1):
+            per_scale = []
+            for r in self.max_distances:
+                dist = local_pairwise_dist(target_e2, e2[f], r)
+                per_scale.append(warp_one_scale(
+                    dist, es[f], r, self.distsoftmax, self.distnearest,
+                    self.temp, self.emb_dim))
+            final.append(jnp.mean(jnp.stack(per_scale, 0), axis=0))
+
+        if self.linear_combine:
+            combined = []
+            for i, emb in enumerate(final):
+                wi = self.param(f"w{i}",
+                                nn.initializers.ones if i == 0
+                                else nn.initializers.constant(0.2),
+                                (self.emb_dim,))
+                combined.append(wi * emb)
+            final = combined
+        fea = jnp.mean(jnp.stack(final, 0), axis=0)
+        fea = Dropout2d(0.1, name="last_drop")(fea, train)
+        logits = Conv(self.num_class, 1, dtype=self.dtype,
+                      name="last_conv")(fea)
+        return logits, emb2
+
+
+class ClipWarpNet(nn.Module):
+    """Encoder + PPM-clip decoder + WarpNet (models/models.py:116-282)."""
+
+    encoder: nn.Module
+    num_class: int
+    fc_dim: int = 2048
+    args: Any = None
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, imgs, train: bool = False):
+        """imgs: [T+1, B, H, W, 3], target LAST."""
+        t1, b, h, w, _ = imgs.shape
+        flat = imgs.reshape(t1 * b, h, w, imgs.shape[-1])
+        fix = bool(getattr(self.args, "fix", False))
+        enc_dec_train = train and not fix
+
+        conv_out = self.encoder(flat, train=enc_dec_train)
+        deepsup, clip_embs, _ppm = PPMDeepsupClip(
+            self.num_class, self.fc_dim, dtype=self.dtype,
+            name="decoder")(conv_out, enc_dec_train)
+        if fix:
+            deepsup = jax.lax.stop_gradient(deepsup)
+            clip_embs = jax.lax.stop_gradient(clip_embs)
+
+        warp = WarpNet(
+            num_class=self.num_class, clip_num=t1,
+            max_distances=tuple(getattr(self.args, "max_distances", [10])),
+            linear_combine=getattr(self.args, "linear_combine", False),
+            distsoftmax=getattr(self.args, "distsoftmax", False),
+            distnearest=getattr(self.args, "distnearest", False),
+            temp=getattr(self.args, "temp", 3.0),
+            dtype=self.dtype, name="prop_clip")
+        pred, emb2 = warp(clip_embs, train)
+        if not train:
+            return (pred,)
+        allsup_pred = Dropout2d(0.1, name="allsup_drop")(emb2, train)
+        allsup_pred = Conv(self.num_class, 1, dtype=self.dtype,
+                           name="last_layer")(allsup_pred)
+        return {"pred": pred, "deepsup": deepsup, "allsup": allsup_pred}
+
+
+def clip_warp_loss(outs, batch, deep_sup_scale: float | None = 0.4,
+                   allsup: bool = False, allsup_scale: float = 0.3,
+                   fix: bool = False):
+    """Training loss (reference: models/models.py:183-267).
+
+    batch["labels"]: [T+1, B, H, W], target last.
+    """
+    labels = batch["labels"]
+    t1, b, h, w = labels.shape
+    label = labels[-1]
+    logp = resize_bilinear(
+        jax.nn.log_softmax(outs["pred"].astype(jnp.float32), axis=-1), (h, w))
+    loss = nll_from_logprobs(logp, label)
+    if allsup:
+        all_label = labels.reshape(t1 * b, h, w)
+        alogp = resize_bilinear(
+            jax.nn.log_softmax(outs["allsup"].astype(jnp.float32), axis=-1),
+            (h, w))
+        loss_a = nll_from_logprobs(alogp, all_label)
+        if deep_sup_scale is not None and not fix:
+            dlogp = resize_bilinear(
+                jax.nn.log_softmax(outs["deepsup"].astype(jnp.float32),
+                                   axis=-1), (h, w))
+            loss_d = nll_from_logprobs(dlogp, all_label)
+            loss = loss + (loss_a + loss_d * deep_sup_scale) * allsup_scale
+        else:
+            loss = loss + loss_a * allsup_scale
+    acc_label = jnp.where(label == 255, -1, label)
+    acc = pixel_acc(logp, acc_label)
+    return loss, acc
