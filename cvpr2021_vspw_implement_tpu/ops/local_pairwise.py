@@ -75,12 +75,14 @@ def local_weighted_aggregate(y: jnp.ndarray, weights: jnp.ndarray,
     return out.astype(y.dtype)
 
 
-def local_window_gather(y: jnp.ndarray, r: int) -> jnp.ndarray:
-    """y: [B, H, W, C] → windows [B, H, W, k, k, C] (zero padded),
+def local_window_gather(y: jnp.ndarray, r: int,
+                        pad_value: float = 0.0) -> jnp.ndarray:
+    """y: [B, H, W, C] → windows [B, H, W, k, k, C] (pad_value outside),
     window order (dy outer, dx inner) matching ``local_pairwise_dist``."""
     b, h, w, c = y.shape
     k = 2 * r + 1
-    y_pad = jnp.pad(y, ((0, 0), (r, r), (r, r), (0, 0)))
+    y_pad = jnp.pad(y, ((0, 0), (r, r), (r, r), (0, 0)),
+                    constant_values=pad_value)
     rows = []
     for dy in range(k):
         cols = [y_pad[:, dy:dy + h, dx:dx + w, :] for dx in range(k)]
