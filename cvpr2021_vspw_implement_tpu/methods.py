@@ -111,7 +111,8 @@ def _build_nonlocal3d(cfg, args, dtype):
 
 def _build_tdnet(cfg, args, dtype):
     from .models.td4_psp import TD4PSP, td4_loss
-    model = TD4PSP(num_class=args.num_class, dtype=dtype)
+    model = TD4PSP(num_class=args.num_class,
+                   cropsize=getattr(args, "cropsize", 479), dtype=dtype)
     return model, td4_loss
 
 

@@ -37,25 +37,30 @@ class TrainState:
 
 def make_train_step(model, tx, deep_sup_scale: float | None = 0.4,
                     loss_fn: Callable | None = None,
-                    donate: bool = True):
+                    donate: bool = True,
+                    static_kwarg: str | None = None):
     """Build the jitted per-frame train step.
 
     ``loss_fn(outs, batch) -> (loss, acc)`` may override the default
     segmentation loss (used by temporal task modules with richer batches).
+    ``static_kwarg`` names an extra static model argument passed as the
+    step's 4th positional arg (tdnet's rotating ``pos_id`` — one compiled
+    variant per value).
     """
 
     if loss_fn is None:
         def loss_fn(outs, batch):
             return segmentation_loss(outs, batch["label"], deep_sup_scale)
 
-    def train_step(state: TrainState, batch, dropout_rng):
+    def train_step(state: TrainState, batch, dropout_rng, static_val=None):
         rng = jax.random.fold_in(dropout_rng, state.step)
+        kwargs = {static_kwarg: static_val} if static_kwarg else {}
 
         def compute_loss(params):
             outs, mutated = model.apply(
                 {"params": params, "batch_stats": state.batch_stats},
                 batch["img"], train=True, mutable=["batch_stats"],
-                rngs={"dropout": rng})
+                rngs={"dropout": rng}, **kwargs)
             loss, acc = loss_fn(outs, batch)
             return loss, (acc, mutated["batch_stats"])
 
@@ -69,7 +74,11 @@ def make_train_step(model, tx, deep_sup_scale: float | None = 0.4,
         metrics = {"loss": loss, "acc": acc}
         return new_state, metrics
 
-    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+    jitted = jax.jit(train_step, donate_argnums=(0,) if donate else (),
+                     static_argnums=(3,) if static_kwarg else ())
+    if static_kwarg:
+        return jitted
+    return lambda state, batch, rng: jitted(state, batch, rng)
 
 
 def make_eval_step(model, seg_size: tuple[int, int] | None = None):

@@ -63,7 +63,10 @@ def train_clip(cfg, args, logger=None, max_steps: int | None = None):
         n_data = auto_data_axis(args.batchsize,
                                 len(jax.devices()) // cfg.TPU.mesh_model)
     mesh = make_mesh(n_data, cfg.TPU.mesh_model)
-    step_fn = make_train_step(model, tx, loss_fn=loss_fn)
+    # tdnet rotates its 4 paths with pos_id = step % 4 (train_clip2.py:93-94)
+    static_kwarg = "pos_id" if args.method == "tdnet" else None
+    step_fn = make_train_step(model, tx, loss_fn=loss_fn,
+                              static_kwarg=static_kwarg)
 
     batch_time, data_time = AverageMeter(), AverageMeter()
     ave_loss, ave_acc = AverageMeter(), AverageMeter()
@@ -77,7 +80,11 @@ def train_clip(cfg, args, logger=None, max_steps: int | None = None):
                 from jax.sharding import NamedSharding, PartitionSpec as P
                 sh = NamedSharding(mesh, P(None, "data"))
                 batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
-                state, metrics = step_fn(state, batch, key)
+                if static_kwarg:
+                    state, metrics = step_fn(state, batch, key,
+                                             (total_steps + 1) % 4)
+                else:
+                    state, metrics = step_fn(state, batch, key)
                 loss, acc = float(metrics["loss"]), float(metrics["acc"])
                 batch_time.update(time.time() - tic)
                 tic = time.time()
