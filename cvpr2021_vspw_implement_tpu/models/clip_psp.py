@@ -10,9 +10,14 @@ frames.
 TPU-native formulation: time is a leading axis folded into batch for the
 encoder (the reference batch-concats, clip_psp.py:142-144); pooled pyramids
 are [T, B, s, s, C] tensors blended with a single ``mean``/weighted-mean on
-the time axis.  The pooled statistics per frame are tiny (≤6x6xC), which is
-what makes frame-sharded (sequence-parallel) execution cheap: only these
-stats cross chips.
+the time axis.  The pooled statistics per frame are tiny (≤6x6xC), which
+enables two things the reference can't do:
+  * frame-sharded (sequence-parallel) execution — only the stats cross chips;
+  * streaming eval (``encode_frame`` + ``fuse_target``): each video frame is
+    encoded exactly ONCE and its pooled stats are reused by every sliding
+    window that contains it — ~(T+1)x less encoder work than the reference
+    eval loop (test_clip2.py re-encodes the whole window per frame) with
+    bit-identical predictions.
 
 Reference quirk preserved: with ``psp_weight`` the pooled features are
 ordered [target, others...] while the softmax weights stay in input order
@@ -37,6 +42,19 @@ from .layers import BatchNorm2d, Conv, Dropout2d
 from .segmentation import nll_from_logprobs
 
 
+class _ConvBNReLU1x1(nn.Module):
+    features: int = 512
+    dtype: Any = None
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = Conv(self.features, 1, use_bias=False, dtype=self.dtype,
+                 name="conv")(x)
+        x = BatchNorm2d(self.features, dtype=self.dtype,
+                        bias_init=_bn_bias_init, name="bn")(x, train)
+        return nn.relu(x)
+
+
 class ClipPSP(nn.Module):
     encoder: nn.Module
     num_class: int
@@ -45,7 +63,46 @@ class ClipPSP(nn.Module):
     psp_weight: bool = False
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        self.ppm_convs = [_ConvBNReLU1x1(512, dtype=self.dtype)
+                          for _ in self.pool_scales]
+        self.conv_last_conv = Conv(512, 3, padding=1, use_bias=False,
+                                   dtype=self.dtype)
+        self.conv_last_bn = BatchNorm2d(512, dtype=self.dtype,
+                                        bias_init=_bn_bias_init)
+        self.conv_last_drop = Dropout2d(0.1)
+        self.conv_last_cls = Conv(self.num_class, 1, dtype=self.dtype)
+        self.deepsup_conv = Conv(self.fc_dim // 4, 3, padding=1,
+                                 use_bias=False, dtype=self.dtype)
+        self.deepsup_bn = BatchNorm2d(self.fc_dim // 4, dtype=self.dtype,
+                                      bias_init=_bn_bias_init)
+        self.deepsup_drop = Dropout2d(0.1)
+        self.deepsup_cls = Conv(self.num_class, 1, dtype=self.dtype)
+        if self.psp_weight:
+            self.pspweight_conv = Conv(1, 1, use_bias=False, dtype=self.dtype)
+
+    def fuse_target(self, target_c5, blended, train: bool = False):
+        """PPM_conv (reference: clip_psp.py:23-56): per-scale 1x1 conv+BN+ReLU
+        on the blended stats, upsample, concat with target C5, fuse.
+
+        target_c5: [B, h, w, C]; blended: list of [B, s, s, C]."""
+        fh, fw = target_c5.shape[1:3]
+        ppm_out = [target_c5]
+        for conv, feat in zip(self.ppm_convs, blended):
+            ppm_out.append(resize_bilinear(conv(feat, train), (fh, fw)))
+        x = jnp.concatenate(ppm_out, axis=-1)
+        x = nn.relu(self.conv_last_bn(self.conv_last_conv(x), train))
+        x = self.conv_last_drop(x, train)
+        return self.conv_last_cls(x)
+
+    def encode_frame(self, img, train: bool = False):
+        """One frame → (C5 map, per-scale pooled stats).  Streaming-eval
+        building block: pooled stats are cached and reused across windows."""
+        conv_out = self.encoder(img, train=train)
+        c5 = conv_out[-1]
+        pooled = [adaptive_avg_pool2d(c5, s) for s in self.pool_scales]
+        return c5, pooled
+
     def __call__(self, imgs, train: bool = False):
         """imgs: [T+1, B, H, W, 3] with the target frame LAST.
 
@@ -55,61 +112,36 @@ class ClipPSP(nn.Module):
         t1, b, h, w, _ = imgs.shape
         flat = imgs.reshape(t1 * b, h, w, imgs.shape[-1])
         conv_out = self.encoder(flat, train=train)
-        c5 = conv_out[-1]                      # [(T+1)B, h8, w8, fc_dim]
+        c5 = conv_out[-1]
         fh, fw, fc = c5.shape[1:]
         c5_t = c5.reshape(t1, b, fh, fw, fc)
         target_c5 = c5_t[-1]
 
         psp_w = None
         if self.psp_weight:
-            wl = Conv(1, 1, use_bias=False, dtype=self.dtype,
-                      name="pspweight_conv")(c5)
-            wp = global_avg_pool(wl)                     # [(T+1)B,1,1,1]
+            wp = global_avg_pool(self.pspweight_conv(c5))    # [(T+1)B,1,1,1]
             # softmax across frames, kept in INPUT order (others..., target)
             psp_w = jax.nn.softmax(
                 wp.reshape(t1, b, 1, 1, 1).astype(jnp.float32), axis=0)
 
         blended = []
         for scale in self.pool_scales:
-            p = adaptive_avg_pool2d(c5, scale)           # [(T+1)B, s, s, C]
+            p = adaptive_avg_pool2d(c5, scale)
             p = p.reshape(t1, b, scale, scale, fc)
             # reference appends target first, then the others
             p = jnp.concatenate([p[-1:], p[:-1]], axis=0)
             if psp_w is not None:
                 p = p * psp_w.astype(p.dtype)
-            blended.append(jnp.mean(p, axis=0))          # [B, s, s, C]
+            blended.append(jnp.mean(p, axis=0))              # [B, s, s, C]
 
-        # PPM_conv (reference: clip_psp.py:23-56): per-scale 1x1 conv + BN +
-        # ReLU on the blended stats, upsample, concat with target C5, fuse.
-        ppm_out = [target_c5]
-        for i, feat in enumerate(blended):
-            x = Conv(512, 1, use_bias=False, dtype=self.dtype,
-                     name=f"ppm_conv_{i}_conv")(feat)
-            x = BatchNorm2d(512, dtype=self.dtype, bias_init=_bn_bias_init,
-                            name=f"ppm_conv_{i}_bn")(x, train)
-            x = nn.relu(x)
-            ppm_out.append(resize_bilinear(x, (fh, fw)))
-        x = jnp.concatenate(ppm_out, axis=-1)
-        x = Conv(512, 3, padding=1, use_bias=False, dtype=self.dtype,
-                 name="conv_last_0")(x)
-        x = BatchNorm2d(512, dtype=self.dtype, bias_init=_bn_bias_init,
-                        name="conv_last_1")(x, train)
-        x = nn.relu(x)
-        x = Dropout2d(0.1, name="conv_last_drop")(x, train)
-        main = Conv(self.num_class, 1, dtype=self.dtype, name="conv_last_cls")(x)
-
+        main = self.fuse_target(target_c5, blended, train)
         if not train:
             return (main,)
 
         # deep supervision over ALL frames' C4 (reference: clip_psp.py:205-215)
-        conv4 = conv_out[-2]
-        d = Conv(self.fc_dim // 4, 3, padding=1, use_bias=False,
-                 dtype=self.dtype, name="deepsup_conv")(conv4)
-        d = BatchNorm2d(self.fc_dim // 4, dtype=self.dtype,
-                        bias_init=_bn_bias_init, name="deepsup_bn")(d, train)
-        d = nn.relu(d)
-        d = Dropout2d(0.1, name="deepsup_drop")(d, train)
-        d = Conv(self.num_class, 1, dtype=self.dtype, name="deepsup_cls")(d)
+        d = nn.relu(self.deepsup_bn(self.deepsup_conv(conv_out[-2]), train))
+        d = self.deepsup_drop(d, train)
+        d = self.deepsup_cls(d)
         return main, d
 
 

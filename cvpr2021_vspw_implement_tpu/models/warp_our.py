@@ -19,6 +19,7 @@ Reference quirks preserved:
 
 from __future__ import annotations
 
+import os
 from typing import Any, Sequence
 
 import jax
@@ -86,14 +87,25 @@ class WarpNet(nn.Module):
         es = emb_s.reshape(t1, b, *emb_s.shape[1:])
         target_e2, target_es = e2[-1], es[-1]
 
+        # the default (sigmoid) aggregation has a fused Pallas kernel on TPU
+        # (ops/pallas/local_agg.py): no HBM distance volume, MXU matmuls only
+        use_fused = (not self.distsoftmax and not self.distnearest
+                     and jax.default_backend() not in ("cpu",)
+                     and os.environ.get("VSPW_TPU_PALLAS", "1") == "1")
+
         final = [target_es]
         for f in range(t1 - 1):
             per_scale = []
             for r in self.max_distances:
-                dist = local_pairwise_dist(target_e2, e2[f], r)
-                per_scale.append(warp_one_scale(
-                    dist, es[f], r, self.distsoftmax, self.distnearest,
-                    self.temp, self.emb_dim))
+                if use_fused:
+                    from ..ops.pallas.local_agg import local_sigmoid_aggregate
+                    per_scale.append(local_sigmoid_aggregate(
+                        target_e2, e2[f], es[f], r))
+                else:
+                    dist = local_pairwise_dist(target_e2, e2[f], r)
+                    per_scale.append(warp_one_scale(
+                        dist, es[f], r, self.distsoftmax, self.distnearest,
+                        self.temp, self.emb_dim))
             final.append(jnp.mean(jnp.stack(per_scale, 0), axis=0))
 
         if self.linear_combine:

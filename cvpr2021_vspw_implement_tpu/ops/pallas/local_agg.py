@@ -1,0 +1,105 @@
+"""Pallas TPU kernel: fused local cost-volume warp aggregation.
+
+The TPU-native replacement for the reference's custom native kernel slot
+(RAFT/alt_cuda_corr — a windowed correlation CUDA kernel;
+reference: RAFT/alt_cuda_corr/correlation_kernel.cu) applied to the hot
+inner loop of the warp methods (models/warp_our.py:117-160 sigmoid mode):
+
+    dist(p, q) = |x_p|^2 + |y_q|^2 - 2 <x_p, y_q>   for q in a (2r+1)^2
+    window around p;  w = 2 * (1 - sigmoid(dist));
+    out_p = (1/k^2) * Σ_q w(p, q) * y_q.
+
+Kernel design (one grid cell per (batch, row)):
+  * the (2r+1) y-rows the window touches live in VMEM as one block of the
+    zero-padded y; per row offset the kernel computes the DENSE [W, W+2r]
+    similarity on the MXU, masks it to the valid band with an iota
+    comparison, applies the sigmoid weighting on the VPU, and accumulates
+    ``weights @ y_row`` back on the MXU;
+  * no gathers, no HBM intermediates: the [B,H,W,k,k] distance volume the
+    XLA fallback writes to HBM never materializes;
+  * out-of-bounds window positions need no special-casing: padded y rows
+    are zero, so their contribution w*y vanishes (the reference gets the
+    same effect by padding |y|^2 with 1e20 → weight 0).
+
+``local_sigmoid_aggregate`` == warp_one_scale's sigmoid path
+(ops/local_pairwise.py dist + aggregate composed), verified in
+tests/test_pallas.py (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(x_ref, yd_ref, yv_ref, o_ref, *, r: int, w: int, cv: int):
+    k = 2 * r + 1
+    hi = pl.program_id(1)
+    x = x_ref[0, 0].astype(jnp.float32)                # [W, Cd]
+    x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)  # [W, 1]
+
+    # band validity: window of pixel w covers padded columns w .. w+2r
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, w + 2 * r), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, w + 2 * r), 0)
+    band = (col >= row) & (col <= row + 2 * r)
+
+    acc = jnp.zeros((w, cv), jnp.float32)
+    for dy in range(k):
+        # window rows overlap between grid cells → slice the full padded y
+        # (in VMEM) at a dynamic offset instead of block-partitioning it
+        yd_row = yd_ref[0, pl.ds(hi + dy, 1)][0].astype(jnp.float32)
+        yv_row = yv_ref[0, pl.ds(hi + dy, 1)][0].astype(jnp.float32)
+        y2 = jnp.sum(jnp.square(yd_row), axis=-1)      # [W+2r]
+        m = jnp.dot(x, yd_row.T, preferred_element_type=jnp.float32)
+        dist = x2 + y2[None, :] - 2.0 * m              # [W, W+2r]
+        # OOB columns carry |y|^2 = +inf in the reference (pad 1e20) →
+        # weight 0; padded rows here are zero, so force the huge distance
+        wts = 2.0 * (1.0 - jax.nn.sigmoid(dist))
+        wts = jnp.where(band, wts, 0.0)
+        acc = acc + jnp.dot(wts, yv_row,
+                            preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (acc / (k * k)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "interpret"))
+def local_sigmoid_aggregate(x: jnp.ndarray, y_dist: jnp.ndarray,
+                            y_val: jnp.ndarray, r: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Fused sigmoid-weighted window mean.
+
+    x [B,H,W,Cd] (query emb), y_dist [B,H,W,Cd] (context emb used for
+    distances), y_val [B,H,W,Cv] (context features to aggregate) →
+    [B,H,W,Cv].  Equivalent to ``local_weighted_aggregate(y_val,
+    2*(1-sigmoid(local_pairwise_dist(x, y_dist, r))), r) / (2r+1)**2``
+    (ops/local_pairwise.py), the sigmoid path of warp_one_scale.
+    """
+    b, h, w, cd = x.shape
+    cv = y_val.shape[-1]
+    k = 2 * r + 1
+    yd_pad = jnp.pad(y_dist, ((0, 0), (r, r), (r, r), (0, 0)))
+    yv_pad = jnp.pad(y_val, ((0, 0), (r, r), (r, r), (0, 0)))
+
+    # full padded y per batch item (window rows overlap across grid
+    # cells; sliced dynamically inside the kernel)
+    def full(cc):
+        return pl.BlockSpec((1, h + 2 * r, w + 2 * r, cc),
+                            lambda bi, hi: (bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_kernel, r=r, w=w, cv=cv),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, w, cd), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(cd), full(cv),
+        ],
+        out_specs=pl.BlockSpec((1, 1, w, cv), lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cv), y_val.dtype),
+        interpret=interpret,
+    )(x, yd_pad, yv_pad)

@@ -1,0 +1,82 @@
+"""Streaming TCB-PSP inference: encode each frame once, reuse pooled stats.
+
+The reference eval loop re-encodes the full (T+1)-frame window for every
+eval frame (TestDataset_longclip + Clip_PSP forward).  Because the blend
+only consumes per-frame pooled PPM statistics (≤6x6xC) plus the target's C5
+map, a streaming evaluator encodes each video frame exactly ONCE, caches its
+pooled stats (a few KB), keeps a short lookahead buffer of C5 maps, and
+fuses windows as their future context becomes available.  Predictions are
+bit-identical to the window formulation; encoder work drops by ~(T+1)x.
+
+Not applicable with ``psp_weight`` (the softmax weights couple frames in
+input order); the driver falls back to the window path there.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models.segmentation import inference_pred
+
+
+class ClipPSPStreamer:
+    def __init__(self, model, variables, dilation2, num_frames: int,
+                 seg_size):
+        self.model = model
+        self.variables = variables
+        self.dilation2 = list(dilation2)
+        self.n = num_frames
+        self.seg_size = tuple(seg_size)
+
+        @jax.jit
+        def encode(img):
+            return model.apply(variables, img, train=False,
+                               method=model.encode_frame)
+
+        @jax.jit
+        def fuse(c5_t, blended):
+            logits = model.apply(variables, c5_t, blended, train=False,
+                                 method=model.fuse_target)
+            return inference_pred((logits,), self.seg_size)
+
+        self._encode = encode
+        self._fuse = fuse
+
+    def context_indices(self, i: int) -> list[int]:
+        """Window offsets with the reference's end-of-video flip
+        (TestDataset_longclip, dataset2.py:460-466); negative indices wrap
+        exactly like python list indexing in the reference."""
+        out = []
+        for dil in self.dilation2:
+            j = i - dil if i + self.dilation2[-1] >= self.n else i + dil
+            out.append(j % self.n)
+        return out
+
+    def run(self, frames_iter):
+        """frames_iter yields [H, W, 3] normalized frames in order.
+        Yields (frame_idx, pred [H, W] uint8) in order."""
+        pooled_cache: dict[int, list] = {}
+        c5_buffer: dict[int, jax.Array] = {}
+        next_to_fuse = 0
+
+        for j, frame in enumerate(frames_iter):
+            c5, pooled = self._encode(jnp.asarray(frame[None]))
+            c5_buffer[j] = c5
+            pooled_cache[j] = pooled
+            while next_to_fuse < self.n:
+                i = next_to_fuse
+                ctx = self.context_indices(i)
+                if any(k > j for k in [i] + ctx):
+                    break
+                # blend = mean over [target, ctx...] per scale — identical
+                # to the window forward's jnp.mean over the time axis
+                blended = [
+                    jnp.mean(jnp.stack([pooled_cache[i][s]] +
+                                       [pooled_cache[k][s] for k in ctx]), 0)
+                    for s in range(len(pooled_cache[i]))]
+                pred = self._fuse(c5_buffer[i], blended)
+                del c5_buffer[i]
+                yield i, np.asarray(pred)[0]
+                next_to_fuse += 1

@@ -113,6 +113,43 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
     if max_videos:
         videos = videos[:max_videos]
 
+    # streaming fast path: TCB-PSP encodes each frame once (serving.py);
+    # predictions are identical to the window formulation
+    use_streaming = (args.method == "clip_psp"
+                     and not getattr(args, "psp_weight", False)
+                     and getattr(args, "streaming", True))
+    if use_streaming:
+        from .data import TestFrameDataset
+        from .serving import ClipPSPStreamer
+        dil = args.dilation2
+        dilation2 = [int(d) for d in dil.split(",")] \
+            if isinstance(dil, str) else list(dil)
+        for video in videos:
+            ds = TestFrameDataset(args.dataroot, video, args)
+            eval_video = Evaluator(args.num_class)
+            items = [ds[i] for i in range(len(ds))]
+            h0, w0 = items[0][0].shape[:2]
+            streamer = ClipPSPStreamer(model, variables, dilation2,
+                                       len(ds), (h0, w0))
+            gt_list = [it[1] for it in items]
+            pred_list = [None] * len(ds)
+            for i, pred in streamer.run(it[0] for it in items):
+                pred_list[i] = pred
+                evaluator.add_batch(gt_list[i][None], pred[None])
+                eval_video.add_batch(gt_list[i][None], pred[None])
+                if is_save and args.saveroot:
+                    odir = os.path.join(args.saveroot, video)
+                    os.makedirs(odir, exist_ok=True)
+                    out = Image.fromarray(pred.astype(np.uint8), mode="P")
+                    out.putpalette(palette)
+                    out.save(os.path.join(odir, items[i][2]))
+            h, w = gt_list[0].shape
+            vc_accs.extend(get_common(gt_list, pred_list, args.vc_clip_num,
+                                      h, w))
+            vmiou[video] = eval_video.Mean_Intersection_over_Union()
+            logger.info(f"video {video}: mIoU {vmiou[video]:.4f} (streaming)")
+        videos = []
+
     for video in videos:
         ds = ds_cls(args.dataroot, video, args)
         eval_video = Evaluator(args.num_class)

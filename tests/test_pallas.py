@@ -1,0 +1,30 @@
+"""Pallas kernel correctness (interpret mode on the CPU test mesh)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvpr2021_vspw_implement_tpu.ops.local_pairwise import (
+    local_pairwise_dist, local_weighted_aggregate)
+from cvpr2021_vspw_implement_tpu.ops.pallas.local_agg import (
+    local_sigmoid_aggregate)
+
+
+@pytest.mark.parametrize("r,shape", [(2, (1, 6, 9, 8)), (3, (2, 8, 10, 16))])
+def test_local_sigmoid_aggregate_matches_xla(r, shape):
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal(shape, np.float32))
+    y = jnp.asarray(rng.standard_normal(shape, np.float32))
+    # distance emb and value features have different widths (WarpNet uses
+    # 128-d emb_2 for distances and 256-d emb for values)
+    yv = jnp.asarray(rng.standard_normal(shape[:3] + (shape[3] * 2,),
+                                         np.float32))
+
+    dist = local_pairwise_dist(x, y, r)
+    wts = 1.0 - (jax.nn.sigmoid(dist.astype(jnp.float32)) - 0.5) * 2.0
+    ref = local_weighted_aggregate(yv, wts, r) / (2 * r + 1) ** 2
+
+    out = local_sigmoid_aggregate(x, y, yv, r, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)

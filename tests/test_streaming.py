@@ -1,0 +1,57 @@
+"""Streaming TCB-PSP eval must reproduce the window formulation exactly."""
+
+import argparse
+
+import numpy as np
+import pytest
+
+from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+from cvpr2021_vspw_implement_tpu.data import make_synthetic_vspw
+
+
+@pytest.fixture(scope="module")
+def vspw_root(tmp_path_factory):
+    root = tmp_path_factory.mktemp("vspw_stream")
+    make_synthetic_vspw(str(root), num_videos=1, frames_per_video=12,
+                        size=(40, 48), num_class=5, seed=11)
+    return str(root)
+
+
+def _args(root, streaming):
+    return argparse.Namespace(
+        dataroot=root, split="val", num_class=5, method="clip_psp",
+        clip_num=4, dilation_num=0, dilation2="1,2,3", vc_clip_num=4,
+        lesslabel=False, use_memory=False, memory_num=8, clipocr_all=False,
+        psp_weight=False, deepsup_scale=0.4, st_weight=0.1, allsup=False,
+        allsup_scale=0.3, linear_combine=False, distsoftmax=False,
+        distnearest=False, temp=3.0, max_distances=[10], load="",
+        saveroot="", is_save=False, streaming=streaming, fix=False,
+        cropsize=40, multi_scale=False, trainfps=15)
+
+
+def test_streaming_matches_window(vspw_root, tmp_path):
+    import jax
+    from cvpr2021_vspw_implement_tpu.methods import build_method
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.fc_dim = 512
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+
+    model, _ = build_method("clip_psp", cfg, _args(vspw_root, True))
+    key = jax.random.PRNGKey(0)
+    import jax.numpy as jnp
+    sample = jnp.zeros((4, 1, 40, 48, 3), jnp.float32)
+    variables = model.init({"params": key, "dropout": key}, sample, train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    m_stream, v_stream = evaluate_clip(cfg, _args(vspw_root, True),
+                                       variables=variables)
+    m_window, v_window = evaluate_clip(cfg, _args(vspw_root, False),
+                                       variables=variables)
+    assert m_stream["mIoU"] == pytest.approx(m_window["mIoU"], abs=1e-6)
+    assert m_stream["Acc"] == pytest.approx(m_window["Acc"], abs=1e-6)
+    assert m_stream["VC"] == pytest.approx(m_window["VC"], abs=1e-6)
