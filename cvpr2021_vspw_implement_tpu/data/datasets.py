@@ -323,6 +323,7 @@ class TestClipDataset(TestFrameDataset):
         if end - start < 2:
             clips.append(arr)
             cliplabs.append(lab)
+            names.append(name)
         else:
             for j in range(start, end):
                 if self.method != "nonlocal3d" and j == i:
@@ -332,6 +333,8 @@ class TestClipDataset(TestFrameDataset):
                 clips.append(normalize_image(np.float32(np.asarray(cimg)) / 255.0))
                 cliplabs.append(remap_label(np.asarray(cmask)))
                 names.append(thelist[j])
+        if self.method == "nonlocal3d":
+            return arr, lab, clips, cliplabs, gtname, names
         return arr, lab, clips, cliplabs, gtname
 
 

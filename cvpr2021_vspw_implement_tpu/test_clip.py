@@ -69,6 +69,59 @@ def build_eval_clip_parser():
     return p
 
 
+def _test_all_nonlocal3d(args, video, infer, evaluator, palette, logger,
+                         is_save):
+    """Score averaging across overlapping windows for nonlocal3d
+    (reference ``test_all``: test_clip2.py:90-195): every frame's softmax
+    scores accumulate over the ``clip_num`` windows containing it; the
+    averaged scores are argmaxed once the frame has been seen clip_num
+    times (leftovers flushed at video end)."""
+    import jax.numpy as jnp
+
+    ds = TestClipDataset(args.dataroot, video, args)
+    eval_video = Evaluator(args.num_class)
+    gt_dic, pred_dic, done = {}, {}, set()
+    gt_list, pred_list = {}, {}
+
+    def flush(nn):
+        probs = np.mean(pred_dic.pop(nn), axis=0)
+        pred = np.argmax(probs, axis=-1)
+        gt = gt_dic[nn]
+        evaluator.add_batch(gt[None], pred[None])
+        eval_video.add_batch(gt[None], pred[None])
+        gt_list[nn], pred_list[nn] = gt, pred
+        done.add(nn)
+        if is_save and args.saveroot:
+            odir = os.path.join(args.saveroot, video)
+            os.makedirs(odir, exist_ok=True)
+            out = Image.fromarray(pred.astype(np.uint8), mode="P")
+            out.putpalette(palette)
+            out.save(os.path.join(odir, os.path.splitext(nn)[0] + ".png"))
+
+    for i in range(len(ds)):
+        _img, _gt, clips, cliplabs, _gtname, names = ds[i]
+        imgs = jnp.asarray(np.stack(clips)[:, None])
+        probs = np.asarray(infer(imgs))                  # [T,1,H,W,K]
+        for t, nn in enumerate(names):
+            if nn in done:
+                continue
+            gt_dic.setdefault(nn, cliplabs[t])
+            pred_dic.setdefault(nn, []).append(probs[t, 0])
+            if len(pred_dic[nn]) > args.clip_num - 1:
+                flush(nn)
+    for nn in list(pred_dic):
+        flush(nn)
+
+    order = sorted(gt_list)
+    gts = [gt_list[n] for n in order]
+    preds = [pred_list[n] for n in order]
+    h, w = gts[0].shape
+    vc = get_common(gts, preds, args.vc_clip_num, h, w)
+    vm = eval_video.Mean_Intersection_over_Union()
+    logger.info(f"video {video}: mIoU {vm:.4f} (test_all)")
+    return vc, vm
+
+
 def evaluate_clip(cfg, args, variables=None, logger=None,
                   max_videos: int = 0, is_save: bool = False):
     logger = logger or setup_logger()
@@ -98,6 +151,14 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             (outs,), new_mem = model.apply(variables, imgs, train=False,
                                            memory=memory)
             return inference_pred((outs,), imgs.shape[2:4]), new_mem
+    elif args.method == "nonlocal3d":
+        from .models.segmentation import inference_probs
+
+        @jax.jit
+        def infer(imgs):
+            outs = model.apply(variables, imgs, train=False)  # [T,B,h,w,K]
+            return jnp.stack([inference_probs((outs[t],), imgs.shape[2:4])
+                              for t in range(imgs.shape[0])])
     else:
         @jax.jit
         def infer(imgs):
@@ -151,6 +212,12 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
         videos = []
 
     for video in videos:
+        if args.method == "nonlocal3d":
+            ev = _test_all_nonlocal3d(args, video, infer, evaluator, palette,
+                                      logger, is_save)
+            vc_accs.extend(ev[0])
+            vmiou[video] = ev[1]
+            continue
         ds = ds_cls(args.dataroot, video, args)
         eval_video = Evaluator(args.num_class)
         gt_list, pred_list = [], []
