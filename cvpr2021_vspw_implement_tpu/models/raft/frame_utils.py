@@ -1,0 +1,48 @@
+"""Flow file IO (reference: RAFT_core/utils/frame_utils.py).
+
+Middlebury ``.flo`` read/write and KITTI 16-bit PNG flow read/write.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+TAG_FLOAT = 202021.25
+
+
+def read_flo(path: str) -> np.ndarray:
+    with open(path, "rb") as f:
+        tag = np.frombuffer(f.read(4), np.float32)[0]
+        assert abs(tag - TAG_FLOAT) < 1e-3, f"bad .flo magic in {path}"
+        w = int(np.frombuffer(f.read(4), np.int32)[0])
+        h = int(np.frombuffer(f.read(4), np.int32)[0])
+        data = np.frombuffer(f.read(h * w * 2 * 4), np.float32)
+    return data.reshape(h, w, 2).copy()
+
+
+def write_flo(path: str, flow: np.ndarray) -> None:
+    h, w = flow.shape[:2]
+    with open(path, "wb") as f:
+        np.float32(TAG_FLOAT).tofile(f)
+        np.int32(w).tofile(f)
+        np.int32(h).tofile(f)
+        flow.astype(np.float32).tofile(f)
+
+
+def read_kitti_png(path: str):
+    """KITTI flow PNG: uint16 (u*64+2^15, v*64+2^15, valid)."""
+    from PIL import Image
+    raw = np.asarray(Image.open(path), np.uint16).astype(np.float64)
+    flow = (raw[..., :2] - 2 ** 15) / 64.0
+    valid = raw[..., 2].astype(np.float32)
+    return flow.astype(np.float32), valid
+
+
+def write_kitti_png(path: str, flow: np.ndarray,
+                    valid: np.ndarray | None = None) -> None:
+    from PIL import Image
+    h, w = flow.shape[:2]
+    out = np.zeros((h, w, 3), np.uint16)
+    out[..., :2] = np.clip(flow * 64.0 + 2 ** 15, 0, 2 ** 16 - 1)
+    out[..., 2] = 1 if valid is None else valid.astype(np.uint16)
+    Image.fromarray(out.astype(np.uint16)).save(path)

@@ -70,7 +70,8 @@ class RAFT(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, image1, image2, flow_init=None, test_mode: bool = False):
+    def __call__(self, image1, image2, flow_init=None, test_mode: bool = False,
+                 return_all: bool = False):
         image1 = 2 * (image1 / 255.0) - 1.0
         image2 = 2 * (image2 / 255.0) - 1.0
 
@@ -108,16 +109,24 @@ class RAFT(nn.Module):
             # create the update block's params with one unrolled iteration —
             # flax can't create params inside lax.scan
             net, coords1, up_mask = one_iter(net, coords1)
+            all_flows = None
         else:
             def step(carry, _):
                 net, coords1, _ = carry
-                return one_iter(net, coords1), None
+                carry = one_iter(net, coords1)
+                # per-iteration upsampled prediction (training sequence loss,
+                # reference: raft.py:113-123) — only kept with return_all
+                out = (upsample_flow_convex(carry[1] - coords0, carry[2])
+                       if return_all else None)
+                return carry, out
 
-            (net, coords1, up_mask), _ = jax.lax.scan(
+            (net, coords1, up_mask), all_flows = jax.lax.scan(
                 step, (net, coords1, mask0), None, length=self.iters)
 
         flow_low = coords1 - coords0
         flow_up = upsample_flow_convex(flow_low, up_mask)
+        if return_all and all_flows is not None:
+            return all_flows                     # [iters, B, 8H, 8W, 2]
         if test_mode:
             return flow_low, flow_up
         return flow_up
