@@ -30,9 +30,10 @@ def write_flo(path: str, flow: np.ndarray) -> None:
 
 
 def read_kitti_png(path: str):
-    """KITTI flow PNG: uint16 (u*64+2^15, v*64+2^15, valid)."""
-    from PIL import Image
-    raw = np.asarray(Image.open(path), np.uint16).astype(np.float64)
+    """KITTI flow PNG: 16-bit BGR-stored (valid, v*64+2^15, u*64+2^15)."""
+    import cv2
+    raw = cv2.imread(path, cv2.IMREAD_ANYDEPTH | cv2.IMREAD_COLOR)
+    raw = raw[:, :, ::-1].astype(np.float64)     # BGR → RGB = (u, v, valid)
     flow = (raw[..., :2] - 2 ** 15) / 64.0
     valid = raw[..., 2].astype(np.float32)
     return flow.astype(np.float32), valid
@@ -40,9 +41,9 @@ def read_kitti_png(path: str):
 
 def write_kitti_png(path: str, flow: np.ndarray,
                     valid: np.ndarray | None = None) -> None:
-    from PIL import Image
+    import cv2
     h, w = flow.shape[:2]
     out = np.zeros((h, w, 3), np.uint16)
     out[..., :2] = np.clip(flow * 64.0 + 2 ** 15, 0, 2 ** 16 - 1)
     out[..., 2] = 1 if valid is None else valid.astype(np.uint16)
-    Image.fromarray(out.astype(np.uint16)).save(path)
+    cv2.imwrite(path, out[:, :, ::-1])           # store as BGR
