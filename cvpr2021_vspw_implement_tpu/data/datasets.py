@@ -253,6 +253,7 @@ class TwoDataset:
         args2.dataroot = args.dataroot2
         self.secondary = FrameDataset(args2, split, seed)
         self.nprng = np.random.default_rng(seed)
+        self.cropsize = self.primary.cropsize
 
     def __len__(self):
         return len(self.primary)

@@ -43,8 +43,33 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
     dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else None
     model = build_model(cfg, args, dtype)
 
-    dataset = FrameDataset(args, "train", seed=cfg.TRAIN.seed)
-    loader = PrefetchLoader(dataset, args.batchsize, collate_frames,
+    collate = collate_frames
+    if getattr(args, "use_clipdataset", False):
+        # long-clip frames folded into the batch (reference: train.py:41-50)
+        from .data import LongClipDataset
+        dataset = LongClipDataset(args, "train", seed=cfg.TRAIN.seed)
+
+        def collate(items):
+            imgs = np.concatenate([np.stack(it[0]) for it in items])
+            labels = np.concatenate([np.stack(it[1]) for it in items])
+            return {"img": imgs.astype(np.float32),
+                    "label": labels.astype(np.int32)}
+    elif getattr(args, "usetwodata", False):
+        # VSPW frame + a frame from the second image dataset per item
+        # (reference TwoDataset, dataset2.py:1052-1242)
+        from .data import TwoDataset
+        dataset = TwoDataset(args, "train", seed=cfg.TRAIN.seed)
+
+        def collate(items):
+            imgs = np.stack([it[0][0] for it in items]
+                            + [it[1][0] for it in items])
+            labels = np.stack([it[0][1] for it in items]
+                              + [it[1][1] for it in items])
+            return {"img": imgs.astype(np.float32),
+                    "label": labels.astype(np.int32)}
+    else:
+        dataset = FrameDataset(args, "train", seed=cfg.TRAIN.seed)
+    loader = PrefetchLoader(dataset, args.batchsize, collate,
                             shuffle=True, seed=cfg.TRAIN.seed,
                             prefetch=cfg.TPU.prefetch)
 
