@@ -38,12 +38,21 @@ STD = np.array([0.229, 0.224, 0.225], np.float32)
 # primitives
 # ---------------------------------------------------------------------------
 def normalize_image(img: np.ndarray) -> np.ndarray:
-    """[H, W, 3] float32 in [0,1] → ImageNet-normalized."""
+    """[H, W, 3] → ImageNet-normalized float32.
+
+    uint8 inputs take the fused native path (native/hostops.cpp) — one pass
+    instead of the /255, subtract, divide temporaries."""
+    if img.dtype == np.uint8:
+        from .. import native
+        return native.normalize_u8(img)
     return (img - MEAN) / STD
 
 
 def remap_label(segm: np.ndarray) -> np.ndarray:
     """Mask remap (reference: dataset2.py:602-609): 0→255, v→v-1, 254→255."""
+    if segm.dtype == np.uint8:
+        from .. import native
+        return native.remap_label_u8(segm)
     segm = segm.astype(np.int32)
     out = segm - 1
     out[segm == 0] = 255
@@ -152,7 +161,7 @@ class FrameDataset:
             scale = float(self.nprng.choice(SCALES)) \
                 if getattr(self.args, "multi_scale", False) else 1.0
             img, mask = _augment_frame(img, mask, flip, scale)
-        arr = np.float32(np.asarray(img)) / 255.0
+        arr = np.asarray(img)  # stays uint8 through crop (native fast path)
         lab = remap_label(np.asarray(mask))
         if self.split == "train":
             [arr], [lab] = _pad_crop_clip([arr], [lab], self.cropsize, self.rng)
@@ -207,7 +216,7 @@ class ClipDataset:
                                    getattr(self.args, "lesslabel", False))
             if self.split == "train":
                 img, mask = _augment_frame(img, mask, flip, scale)
-            imgs.append(np.float32(np.asarray(img)) / 255.0)
+            imgs.append(np.asarray(img))  # uint8 until after crop
             labs.append(remap_label(np.asarray(mask)))
         if self.split == "train":
             imgs, labs = _pad_crop_clip(imgs, labs, self.cropsize, self.rng)
@@ -286,7 +295,7 @@ class TestFrameDataset:
         name = self.imglist[idx]
         img, mask = load_frame(self.dataroot, self.video, name,
                                getattr(self.args, "lesslabel", False))
-        arr = normalize_image(np.float32(np.asarray(img)) / 255.0)
+        arr = normalize_image(np.asarray(img))
         lab = remap_label(np.asarray(mask))
         return arr, lab, os.path.splitext(name)[0] + ".png"
 
@@ -331,7 +340,7 @@ class TestClipDataset(TestFrameDataset):
                     continue
                 cimg, cmask = load_frame(self.dataroot, self.video, thelist[j],
                                          getattr(self.args, "lesslabel", False))
-                clips.append(normalize_image(np.float32(np.asarray(cimg)) / 255.0))
+                clips.append(normalize_image(np.asarray(cimg)))
                 cliplabs.append(remap_label(np.asarray(cmask)))
                 names.append(thelist[j])
         if self.method == "nonlocal3d":
@@ -360,6 +369,6 @@ class TestLongClipDataset(TestFrameDataset):
             cimg, cmask = load_frame(self.dataroot, self.video,
                                      self.imglist[j],
                                      getattr(self.args, "lesslabel", False))
-            clips.append(normalize_image(np.float32(np.asarray(cimg)) / 255.0))
+            clips.append(normalize_image(np.asarray(cimg)))
             cliplabs.append(remap_label(np.asarray(cmask)))
         return arr, lab, clips, cliplabs, gtname
