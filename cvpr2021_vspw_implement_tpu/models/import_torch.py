@@ -103,6 +103,56 @@ def _emit_bn(params, stats, flax_prefix, leaf, t):
     # num_batches_tracked is dropped
 
 
+def import_resnet_state_dict(state_dict) -> dict:
+    """torch deep-stem ResNet state_dict (reference: models/resnet.py layout —
+    conv1..3/bn1..3 stem, layerX.Y blocks, downsample.{0,1}) → flax variables
+    for models.resnet.ResNetFeatures."""
+    params: dict = {}
+    stats: dict = {}
+    for name, tensor in state_dict.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        name = name.removeprefix("module.")
+        parts = name.split(".")
+        if parts[0] in ("fc", "fc_1", "avgpool"):
+            continue  # classifier head, dropped by the feature trunk
+        leaf = parts[-1]
+        if parts[0].startswith("conv") and len(parts) == 2:
+            _set(params, [parts[0], "conv",
+                          "kernel" if leaf == "weight" else "bias"],
+                 _conv_kernel(t) if leaf == "weight" else t)
+        elif parts[0].startswith("bn") and len(parts) == 2:
+            _emit_bn(params, stats, [parts[0]], leaf, t)
+        elif parts[0].startswith("layer"):
+            blk = f"{parts[0]}_{parts[1]}"
+            sub = parts[2]
+            if sub == "downsample":
+                if parts[3] == "0":
+                    _set(params, [blk, "downsample_conv", "conv",
+                                  "kernel" if leaf == "weight" else "bias"],
+                         _conv_kernel(t) if leaf == "weight" else t)
+                else:
+                    _emit_bn(params, stats, [blk, "downsample_bn"], leaf, t)
+            elif sub.startswith("conv"):
+                _set(params, [blk, sub, "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            elif sub.startswith("bn"):
+                _emit_bn(params, stats, [blk, sub], leaf, t)
+        # anything else (num_batches_tracked etc.) is dropped
+    return {"params": params, "batch_stats": stats}
+
+
+def load_encoder_checkpoint(path: str) -> dict:
+    """Load an ImageNet-pretrained deep-stem ResNet .pth (the reference's
+    ``--pre_enc`` / ``--predir`` checkpoints) into flax variables."""
+    import torch
+    sd = torch.load(path, map_location="cpu")
+    if isinstance(sd, dict) and "state_dict" in sd:
+        sd = sd["state_dict"]
+    return import_resnet_state_dict(sd)
+
+
 def load_raft_checkpoint(path: str) -> dict:
     """Load raft-things.pth (torch) → flax variables for models.raft.RAFT."""
     import torch
