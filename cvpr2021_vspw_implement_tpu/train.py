@@ -150,7 +150,18 @@ def main():
     with open(os.path.join(cfg.DIR, "config.yaml"), "w") as f:
         f.write(cfg.dump())
     np.random.seed(cfg.TRAIN.seed)
-    train(cfg, args, logger)
+    state = train(cfg, args, logger)
+
+    if getattr(args, "validation", False):
+        # reference chains val inference after training (scripts/run_psp.sh)
+        from .test import evaluate
+        import argparse as _ap
+        eval_args = _ap.Namespace(
+            dataroot=args.dataroot, split="val", num_class=args.num_class,
+            load="", saveroot=args.saveroot, lesslabel=args.lesslabel,
+            use_720p=False)
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        evaluate(cfg, eval_args, variables=variables, logger=logger)
 
 
 if __name__ == "__main__":
