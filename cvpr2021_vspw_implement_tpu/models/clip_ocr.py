@@ -8,10 +8,13 @@ all frames with ``clipocr_all``), plus an optional streaming memory of the
 last ``memory_num`` region contexts at inference
 (reference: spatial_ocr_block.py:110-129, clip_ocr.py:124-131).
 
-TPU-native formulation of the memory: instead of a Python list mutated
-in-place, the caller threads a fixed-size ring buffer
-``(buf [M, B, K, C], count)`` through the jitted step — a pure scan carry.
-Region contexts are a few KB, so streaming costs nothing.
+TPU-native formulations:
+  * the memory is a fixed-size ring buffer ``(buf [M, B, K, C], count)``
+    threaded through the jitted step — a pure scan carry;
+  * streaming eval (``encode_frame`` + ``fuse_target``): per-frame region
+    contexts are a [K, 512] vector — each video frame is encoded ONCE and
+    its context reused by every window containing it, exactly like the
+    TCB-PSP streamer (serving.py), with bit-identical predictions.
 
 Note: with ``clipocr_all`` the reference applies OCR attention on all
 (T+1)*B frames against a [B]-batched context, which only broadcasts when
@@ -23,13 +26,14 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.interpolate import resize_bilinear
 from ..utils.metrics import pixel_acc
 from .decoders import _bn_bias_init
-from .layers import BatchNorm2d, Conv, ConvBNReLU, Dropout2d
+from .layers import BatchNorm2d, Conv, Dropout2d
 from .ocr import SpatialOCR, spatial_gather
 from .segmentation import nll_from_logprobs
 
@@ -48,7 +52,44 @@ class ClipOCRNet(nn.Module):
     clipocr_all: bool = False
     dtype: Any = None
 
-    @nn.compact
+    def setup(self):
+        self.dsn_conv = Conv(512, 3, padding=1, use_bias=False,
+                             dtype=self.dtype)
+        self.dsn_bn = BatchNorm2d(512, dtype=self.dtype,
+                                  bias_init=_bn_bias_init)
+        self.dsn_drop = Dropout2d(0.05)
+        self.dsn_cls = Conv(self.num_class, 1, dtype=self.dtype)
+        self.conv_3x3_conv = Conv(512, 3, padding=1, dtype=self.dtype)
+        self.conv_3x3_bn = BatchNorm2d(512, dtype=self.dtype,
+                                       bias_init=_bn_bias_init)
+        self.spatial_ocr_head = SpatialOCR(512, 256, 512, dropout=0.05,
+                                           dtype=self.dtype)
+        self.head = Conv(self.num_class, 1, dtype=self.dtype)
+
+    def _dsn(self, c4, train):
+        d = nn.relu(self.dsn_bn(self.dsn_conv(c4), train))
+        d = self.dsn_drop(d, train)
+        return self.dsn_cls(d)
+
+    def _feat(self, c5, train):
+        return nn.relu(self.conv_3x3_bn(self.conv_3x3_conv(c5), train))
+
+    def encode_frame(self, img, train: bool = False):
+        """One frame → (OCR feature map [B,h,w,512], region context [B,K,512]).
+
+        Streaming-eval building block: contexts are a few KB and cached
+        across sliding windows."""
+        conv_out = self.encoder(img, train=train)
+        x_dsn = self._dsn(conv_out[-2], train)
+        feat = self._feat(conv_out[-1], train)
+        return feat, spatial_gather(feat, x_dsn)
+
+    def fuse_target(self, target_feat, context, train: bool = False):
+        """OCR attention of the target features against the blended region
+        context → logits."""
+        x = self.spatial_ocr_head(target_feat, context, train)
+        return self.head(x)
+
     def __call__(self, imgs, train: bool = False,
                  memory: MemoryState | None = None):
         """imgs: [T+1, B, H, W, 3], target LAST.
@@ -56,21 +97,11 @@ class ClipOCRNet(nn.Module):
         Returns (main, dsn) in training; ((main,), new_memory?) at inference.
         """
         t1, b, h, w, _ = imgs.shape
-        clip_num = t1 - 1
         flat = imgs.reshape(t1 * b, h, w, imgs.shape[-1])
         conv_out = self.encoder(flat, train=train)
-
         # DSN over all frames (reference: clip_ocr.py:120)
-        d = ConvBNReLU(512, dtype=self.dtype, bn_bias_init=_bn_bias_init,
-                       name="dsn_head_cbr")(conv_out[-2], train)
-        d = Dropout2d(0.05, name="dsn_drop")(d, train)
-        x_dsn = Conv(self.num_class, 1, dtype=self.dtype, name="dsn_cls")(d)
-
-        feat = Conv(512, 3, padding=1, dtype=self.dtype,
-                    name="conv_3x3_conv")(conv_out[-1])
-        feat = BatchNorm2d(512, dtype=self.dtype, bias_init=_bn_bias_init,
-                           name="conv_3x3_bn")(feat, train)
-        feat = nn.relu(feat)
+        x_dsn = self._dsn(conv_out[-2], train)
+        feat = self._feat(conv_out[-1], train)
 
         # per-frame region contexts [T+1, B, K, C]
         ctx_frames = spatial_gather(feat, x_dsn).reshape(
@@ -95,20 +126,16 @@ class ClipOCRNet(nn.Module):
             context = jnp.mean(ctx_frames.astype(jnp.float32),
                                axis=0).astype(feat.dtype)   # [B, K, C]
 
-        ocr = SpatialOCR(512, 256, 512, dropout=0.05, dtype=self.dtype,
-                         name="spatial_ocr_head")
         if self.clipocr_all:
             ctx_all = jnp.broadcast_to(
                 context[None], (t1, b, self.num_class, 512)).reshape(
                 t1 * b, self.num_class, 512)
-            x = ocr(feat, ctx_all, train)
-            x = Conv(self.num_class, 1, dtype=self.dtype, name="head")(x)
+            x = self.fuse_target(feat, ctx_all, train)
             if not train:
                 x = x.reshape(t1, b, *x.shape[1:])[-1]
         else:
             target_feat = feat.reshape(t1, b, *feat.shape[1:])[-1]
-            x = ocr(target_feat, context, train)
-            x = Conv(self.num_class, 1, dtype=self.dtype, name="head")(x)
+            x = self.fuse_target(target_feat, context, train)
 
         if not train:
             return ((x,), new_memory) if memory is not None else (x,)
@@ -121,8 +148,6 @@ def clip_ocr_loss(outs, batch, deep_sup_scale: float | None = 0.4,
 
     batch["labels"]: [T+1, B, H, W], target last.
     """
-    import jax
-
     main, dsn = outs
     labels = batch["labels"]
     t1, b, h, w = labels.shape

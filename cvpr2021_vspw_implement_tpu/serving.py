@@ -21,7 +21,10 @@ import numpy as np
 from .models.segmentation import inference_pred
 
 
-class ClipPSPStreamer:
+class _WindowStreamer:
+    """Shared lookahead loop: encode frames once, fuse windows when every
+    member's cached stats are available."""
+
     def __init__(self, model, variables, dilation2, num_frames: int,
                  seg_size):
         self.model = model
@@ -29,20 +32,7 @@ class ClipPSPStreamer:
         self.dilation2 = list(dilation2)
         self.n = num_frames
         self.seg_size = tuple(seg_size)
-
-        @jax.jit
-        def encode(img):
-            return model.apply(variables, img, train=False,
-                               method=model.encode_frame)
-
-        @jax.jit
-        def fuse(c5_t, blended):
-            logits = model.apply(variables, c5_t, blended, train=False,
-                                 method=model.fuse_target)
-            return inference_pred((logits,), self.seg_size)
-
-        self._encode = encode
-        self._fuse = fuse
+        self._encode, self._fuse = self._build(model, variables)
 
     def context_indices(self, i: int) -> list[int]:
         """Window offsets with the reference's end-of-video flip
@@ -57,26 +47,68 @@ class ClipPSPStreamer:
     def run(self, frames_iter):
         """frames_iter yields [H, W, 3] normalized frames in order.
         Yields (frame_idx, pred [H, W] uint8) in order."""
-        pooled_cache: dict[int, list] = {}
-        c5_buffer: dict[int, jax.Array] = {}
+        stats_cache: dict[int, object] = {}
+        feat_buffer: dict[int, jax.Array] = {}
         next_to_fuse = 0
 
         for j, frame in enumerate(frames_iter):
-            c5, pooled = self._encode(jnp.asarray(frame[None]))
-            c5_buffer[j] = c5
-            pooled_cache[j] = pooled
+            feat, stats = self._encode(jnp.asarray(frame[None]))
+            feat_buffer[j] = feat
+            stats_cache[j] = stats
             while next_to_fuse < self.n:
                 i = next_to_fuse
                 ctx = self.context_indices(i)
                 if any(k > j for k in [i] + ctx):
                     break
-                # blend = mean over [target, ctx...] per scale — identical
-                # to the window forward's jnp.mean over the time axis
-                blended = [
-                    jnp.mean(jnp.stack([pooled_cache[i][s]] +
-                                       [pooled_cache[k][s] for k in ctx]), 0)
-                    for s in range(len(pooled_cache[i]))]
-                pred = self._fuse(c5_buffer[i], blended)
-                del c5_buffer[i]
+                pred = self._fuse(feat_buffer[i],
+                                  self._blend(stats_cache, [i] + ctx))
+                del feat_buffer[i]
                 yield i, np.asarray(pred)[0]
                 next_to_fuse += 1
+
+
+class ClipPSPStreamer(_WindowStreamer):
+    """TCB-PSP: cached stats = per-scale pooled pyramids (≤6x6xC each)."""
+
+    def _build(self, model, variables):
+        @jax.jit
+        def encode(img):
+            return model.apply(variables, img, train=False,
+                               method=model.encode_frame)
+
+        @jax.jit
+        def fuse(c5_t, blended):
+            logits = model.apply(variables, c5_t, blended, train=False,
+                                 method=model.fuse_target)
+            return inference_pred((logits,), self.seg_size)
+
+        return encode, fuse
+
+    @staticmethod
+    def _blend(cache, idxs):
+        # mean over [target, ctx...] per scale — identical to the window
+        # forward's jnp.mean over the time axis
+        return [jnp.mean(jnp.stack([cache[k][s] for k in idxs]), 0)
+                for s in range(len(cache[idxs[0]]))]
+
+
+class ClipOCRStreamer(_WindowStreamer):
+    """TCB-OCR (no memory): cached stats = [B, K, 512] region contexts."""
+
+    def _build(self, model, variables):
+        @jax.jit
+        def encode(img):
+            return model.apply(variables, img, train=False,
+                               method=model.encode_frame)
+
+        @jax.jit
+        def fuse(feat_t, context):
+            logits = model.apply(variables, feat_t, context, train=False,
+                                 method=model.fuse_target)
+            return inference_pred((logits,), self.seg_size)
+
+        return encode, fuse
+
+    @staticmethod
+    def _blend(cache, idxs):
+        return jnp.mean(jnp.stack([cache[k] for k in idxs]), 0)

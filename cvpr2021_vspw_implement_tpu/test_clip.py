@@ -174,14 +174,17 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
     if max_videos:
         videos = videos[:max_videos]
 
-    # streaming fast path: TCB-PSP encodes each frame once (serving.py);
-    # predictions are identical to the window formulation
-    use_streaming = (args.method == "clip_psp"
-                     and not getattr(args, "psp_weight", False)
-                     and getattr(args, "streaming", True))
-    if use_streaming:
+    # streaming fast path: TCB-PSP/TCB-OCR encode each frame once
+    # (serving.py); predictions are identical to the window formulation
+    stream_cls = None
+    if getattr(args, "streaming", True):
+        if args.method == "clip_psp" and not getattr(args, "psp_weight", False):
+            from .serving import ClipPSPStreamer as stream_cls
+        elif (args.method == "clip_ocr" and not use_memory
+              and not getattr(args, "clipocr_all", False)):
+            from .serving import ClipOCRStreamer as stream_cls
+    if stream_cls is not None:
         from .data import TestFrameDataset
-        from .serving import ClipPSPStreamer
         dil = args.dilation2
         dilation2 = [int(d) for d in dil.split(",")] \
             if isinstance(dil, str) else list(dil)
@@ -190,8 +193,8 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             eval_video = Evaluator(args.num_class)
             items = [ds[i] for i in range(len(ds))]
             h0, w0 = items[0][0].shape[:2]
-            streamer = ClipPSPStreamer(model, variables, dilation2,
-                                       len(ds), (h0, w0))
+            streamer = stream_cls(model, variables, dilation2,
+                                  len(ds), (h0, w0))
             gt_list = [it[1] for it in items]
             pred_list = [None] * len(ds)
             for i, pred in streamer.run(it[0] for it in items):

@@ -17,9 +17,9 @@ def vspw_root(tmp_path_factory):
     return str(root)
 
 
-def _args(root, streaming):
+def _args(root, streaming, method="clip_psp"):
     return argparse.Namespace(
-        dataroot=root, split="val", num_class=5, method="clip_psp",
+        dataroot=root, split="val", num_class=5, method=method,
         clip_num=4, dilation_num=0, dilation2="1,2,3", vc_clip_num=4,
         lesslabel=False, use_memory=False, memory_num=8, clipocr_all=False,
         psp_weight=False, deepsup_scale=0.4, st_weight=0.1, allsup=False,
@@ -54,4 +54,31 @@ def test_streaming_matches_window(vspw_root, tmp_path):
                                        variables=variables)
     assert m_stream["mIoU"] == pytest.approx(m_window["mIoU"], abs=1e-6)
     assert m_stream["Acc"] == pytest.approx(m_window["Acc"], abs=1e-6)
+    assert m_stream["VC"] == pytest.approx(m_window["VC"], abs=1e-6)
+
+
+def test_streaming_matches_window_clip_ocr(vspw_root, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from cvpr2021_vspw_implement_tpu.methods import build_method
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.fc_dim = 512
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+
+    model, _ = build_method("clip_ocr", cfg, _args(vspw_root, True, "clip_ocr"))
+    key = jax.random.PRNGKey(1)
+    sample = jnp.zeros((4, 1, 40, 48, 3), jnp.float32)
+    variables = model.init({"params": key, "dropout": key}, sample, train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    m_stream, _ = evaluate_clip(cfg, _args(vspw_root, True, "clip_ocr"),
+                                variables=variables)
+    m_window, _ = evaluate_clip(cfg, _args(vspw_root, False, "clip_ocr"),
+                                variables=variables)
+    assert m_stream["mIoU"] == pytest.approx(m_window["mIoU"], abs=1e-6)
     assert m_stream["VC"] == pytest.approx(m_window["VC"], abs=1e-6)
