@@ -153,6 +153,108 @@ def load_encoder_checkpoint(path: str) -> dict:
     return import_resnet_state_dict(sd)
 
 
+def import_hrnet_state_dict(state_dict) -> dict:
+    """torch HRNetV2-W48 state_dict (reference: models/hrnet.py layout) →
+    flax variables for models.hrnet.HRNetV2 (stem/stages submodules)."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put_conv(flax, leaf, t):
+        _set(params, flax + ["conv", "kernel" if leaf == "weight" else "bias"],
+             _conv_kernel(t) if leaf == "weight" else t)
+
+    def put_convbn_conv(flax, leaf, t):
+        # _ConvBN wraps our Conv (itself wrapping nn.Conv named "conv")
+        put_conv(flax + ["conv"], leaf, t)
+
+    for name, tensor in state_dict.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        name = name.removeprefix("module.")
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        head = parts[0]
+        if head in ("conv1", "conv2"):
+            put_convbn_conv(["stem", "stem1" if head == "conv1" else "stem2"],
+                            leaf, t)
+        elif head in ("bn1", "bn2"):
+            _emit_bn(params, stats,
+                     ["stem", "stem1" if head == "bn1" else "stem2", "bn"],
+                     leaf, t)
+        elif head == "layer1":
+            blk = ["stem", f"layer1_{parts[1]}"]
+            sub = parts[2]
+            if sub == "downsample":
+                if parts[3] == "0":
+                    put_conv(blk + ["downsample_conv"], leaf, t)
+                else:
+                    _emit_bn(params, stats, blk + ["downsample_bn"], leaf, t)
+            elif sub.startswith("conv"):
+                put_conv(blk + [sub], leaf, t)
+            else:
+                _emit_bn(params, stats, blk + [sub], leaf, t)
+        elif head.startswith("transition"):
+            stage = int(head[len("transition"):]) + 1
+            i = parts[1]
+            flax = ["stages", f"transition{stage}_{i}"]
+            rest = parts[2:-1]
+            # existing branch: Sequential(conv, bn, relu) → ["0"]/["1"];
+            # new branch: Sequential(Sequential(conv, bn, relu)) →
+            # ["0","0"]/["0","1"]
+            if rest in (["0"], ["0", "0"]):
+                put_convbn_conv(flax, leaf, t)
+            elif rest in (["1"], ["0", "1"]):
+                _emit_bn(params, stats, flax + ["bn"], leaf, t)
+            else:
+                raise KeyError(name)
+        elif head.startswith("stage"):
+            stage = int(head[len("stage"):])
+            m = parts[1]
+            flax_mod = ["stages", f"stage{stage}_m{m}"]
+            kind = parts[2]
+            if kind == "branches":
+                i, b, sub = parts[3], parts[4], parts[5]
+                blk = flax_mod + [f"branch{i}_block{b}"]
+                if sub == "downsample":
+                    if parts[6] == "0":
+                        put_conv(blk + ["downsample_conv"], leaf, t)
+                    else:
+                        _emit_bn(params, stats, blk + ["downsample_bn"],
+                                 leaf, t)
+                elif sub.startswith("conv"):
+                    put_conv(blk + [sub], leaf, t)
+                else:
+                    _emit_bn(params, stats, blk + [sub], leaf, t)
+            elif kind == "fuse_layers":
+                i, j = int(parts[3]), int(parts[4])
+                rest = parts[5:-1]
+                if j > i:
+                    # Sequential(conv, bn)
+                    flax = flax_mod + [f"fuse{i}_{j}"]
+                    if rest == ["0"]:
+                        put_convbn_conv(flax, leaf, t)
+                    else:
+                        _emit_bn(params, stats, flax + ["bn"], leaf, t)
+                else:
+                    # Sequential of (i-j) Sequential(conv, bn[, relu])
+                    k = rest[0]
+                    flax = flax_mod + [f"fuse{i}_{j}_{k}"]
+                    if rest[1] == "0":
+                        put_convbn_conv(flax, leaf, t)
+                    else:
+                        _emit_bn(params, stats, flax + ["bn"], leaf, t)
+            else:
+                raise KeyError(name)
+        elif head in ("incre_modules", "downsamp_modules", "final_layer",
+                      "classifier", "last_layer"):
+            continue  # classification head, absent in the feature trunk
+        else:
+            raise KeyError(f"unrecognized HRNet param {name}")
+    return {"params": params, "batch_stats": stats}
+
+
 def load_raft_checkpoint(path: str) -> dict:
     """Load raft-things.pth (torch) → flax variables for models.raft.RAFT."""
     import torch
