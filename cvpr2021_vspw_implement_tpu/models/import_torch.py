@@ -255,6 +255,48 @@ def import_hrnet_state_dict(state_dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_mobilenet_state_dict(state_dict) -> dict:
+    """torch MobileNetV2 state_dict (reference: models/mobilenet.py) → flax
+    variables for models.mobilenet.MobileNetV2Dilated.
+
+    features.0 = stem conv_bn; features.1..17 = InvertedResidual blocks whose
+    Sequential indices map (expand_ratio != 1) 0/1→conv_0/bn_0, 3/4→conv_1/
+    bn_1, 6/7→conv_2/bn_2 and (block 1, expand_ratio == 1) 0/1→conv_0/bn_0,
+    3/4→conv_1/bn_1.  features.18 (1x1-1280) and the classifier are dropped
+    (MobileNetV2Dilated uses features[:-1], models/models.py:775)."""
+    params: dict = {}
+    stats: dict = {}
+    conv_map = {"0": 0, "3": 1, "6": 2}
+    bn_map = {"1": 0, "4": 1, "7": 2}
+    for name, tensor in state_dict.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        name = name.removeprefix("module.")
+        parts = name.split(".")
+        leaf = parts[-1]
+        if parts[0] != "features" or leaf == "num_batches_tracked":
+            continue
+        fi = int(parts[1])
+        if fi == 0:
+            if parts[2] == "0":
+                _set(params, ["stem_conv", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            else:
+                _emit_bn(params, stats, ["stem_bn"], leaf, t)
+        elif fi <= 17:
+            sub = parts[3]
+            blk = f"block_{fi}"
+            if sub in conv_map:
+                _set(params, [blk, f"conv_{conv_map[sub]}", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            elif sub in bn_map:
+                _emit_bn(params, stats, [blk, f"bn_{bn_map[sub]}"], leaf, t)
+        # features.18 + classifier dropped
+    return {"params": params, "batch_stats": stats}
+
+
 def load_raft_checkpoint(path: str) -> dict:
     """Load raft-things.pth (torch) → flax variables for models.raft.RAFT."""
     import torch
