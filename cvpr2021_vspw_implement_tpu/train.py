@@ -98,6 +98,9 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
     step_fn = make_train_step(
         model, tx, deep_sup_scale=cfg.TRAIN.deep_sup_scale)
 
+    from .utils.checkpoint import PreemptionCheckpointer
+    preempt = PreemptionCheckpointer(cfg.DIR)
+
     batch_time, data_time = AverageMeter(), AverageMeter()
     ave_loss, ave_acc = AverageMeter(), AverageMeter()
     total_steps = 0
@@ -108,6 +111,10 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
                 data_time.update(time.time() - tic)
                 batch = shard_batch(mesh, batch)
                 state, metrics = step_fn(state, batch, key)
+                if preempt.requested:
+                    path = preempt.maybe_save(state, total_steps)
+                    logger.info(f"preemption: saved {path}; exiting")
+                    return state
                 loss = float(metrics["loss"])
                 acc = float(metrics["acc"])
                 batch_time.update(time.time() - tic)

@@ -30,6 +30,51 @@ def load_checkpoint(path: str, target):
         return serialization.from_bytes(target, f.read())
 
 
+def save_checkpoint_orbax(ckpt_dir: str, state, epoch: int) -> str:
+    """Async-capable orbax backend (alternative to the msgpack default)."""
+    import orbax.checkpoint as ocp
+
+    path = os.path.abspath(os.path.join(ckpt_dir, f"orbax_epoch_{epoch}"))
+    ckptr = ocp.PyTreeCheckpointer()
+    ckptr.save(path, jax.device_get(state), force=True)
+    return path
+
+
+def load_checkpoint_orbax(path: str, target):
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer().restore(path, item=jax.device_get(target))
+
+
+class PreemptionCheckpointer:
+    """Preemption-safe checkpointing (the reference has none — SURVEY §5:
+    recovery is manual ``--resume_epoch``).  SIGTERM/SIGINT set a flag; the
+    training loop calls ``maybe_save`` each step and saves once before
+    exiting."""
+
+    def __init__(self, ckpt_dir: str, prefix: str = "preempt_"):
+        import signal
+
+        self.ckpt_dir = ckpt_dir
+        self.prefix = prefix
+        self.requested = False
+        self._orig = {}
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            try:
+                self._orig[sig] = signal.signal(sig, self._handler)
+            except ValueError:
+                pass  # non-main thread
+
+    def _handler(self, signum, frame):
+        self.requested = True
+
+    def maybe_save(self, state, step: int) -> str | None:
+        if not self.requested:
+            return None
+        path = save_checkpoint(self.ckpt_dir, state, step, prefix=self.prefix)
+        return path
+
+
 def latest_checkpoint(ckpt_dir: str, prefix: str = "model_epoch_") -> str | None:
     if not os.path.isdir(ckpt_dir):
         return None
