@@ -22,6 +22,34 @@ import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None) -> None:
+    """Multi-host initialization (`jax.distributed`) — the TPU-native
+    replacement for the reference's absent torch.distributed story
+    (SURVEY §2 parallelism census).  On single-host runs this is a no-op;
+    on pods/pod-slices, call before building the mesh so ``jax.devices()``
+    spans all hosts and GSPMD lays collectives over ICI/DCN."""
+    import os
+    if coordinator_address is None and "JAX_COORDINATOR_ADDRESS" not in os.environ:
+        return  # single-host
+    jax.distributed.initialize(coordinator_address=coordinator_address,
+                               num_processes=num_processes,
+                               process_id=process_id)
+
+
+def make_seq_mesh(n_data: int, n_seq: int, n_model: int = 1,
+                  devices=None) -> Mesh:
+    """3-axis mesh (data, seq, model): 'seq' shards the clip-time axis —
+    TCB blending's cross-frame means become psums of KB-scale pooled
+    statistics over 'seq' (SURVEY §5 long-context plan)."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_data * n_seq * n_model
+    assert n <= len(devices)
+    arr = np.array(devices[:n]).reshape(n_data, n_seq, n_model)
+    return Mesh(arr, ("data", "seq", "model"))
+
+
 def make_mesh(n_data: int = -1, n_model: int = 1,
               devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())
