@@ -22,7 +22,6 @@ from __future__ import annotations
 from functools import partial
 from typing import Any, Sequence
 
-import jax.numpy as jnp
 from flax import linen as nn
 
 from .layers import BatchNorm2d, Conv, kaiming_normal_fan_out

@@ -12,8 +12,6 @@ be jitted and differentiated.
 
 from __future__ import annotations
 
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 from flax import linen as nn

@@ -17,8 +17,6 @@ torch-SGD equivalence: d = grad + wd*p; v = mu*v + d; p -= lr*v — matches
 
 from __future__ import annotations
 
-from typing import Callable
-
 import jax
 import jax.numpy as jnp
 import optax

@@ -20,7 +20,6 @@ from .config import cfg as default_cfg
 from .data import TestFrameDataset, list_videos
 from .models import ModelBuilder, SegmentationModule, inference_pred
 from .utils import Evaluator, setup_logger, vspw_palette
-from .utils.checkpoint import load_checkpoint
 
 
 def build_eval_parser():

@@ -26,7 +26,6 @@ from .data import TestClipDataset, TestLongClipDataset, list_videos
 from .methods import LONGCLIP_METHODS, build_method
 from .models.segmentation import inference_pred
 from .utils import Evaluator, get_common, setup_logger, vspw_palette
-from .utils.checkpoint import load_checkpoint
 
 
 def build_eval_clip_parser():

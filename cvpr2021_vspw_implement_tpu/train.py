@@ -21,7 +21,7 @@ import numpy as np
 from .config import cfg as default_cfg
 from .config.args import build_train_parser, postprocess_args
 from .data import FrameDataset, PrefetchLoader, collate_frames
-from .models import ModelBuilder, SegmentationModule, segmentation_loss
+from .models import ModelBuilder, SegmentationModule
 from .parallel import (TrainState, create_frame_optimizer, make_mesh,
                        make_train_step, shard_batch)
 from .utils import AverageMeter, setup_logger

@@ -21,10 +21,10 @@ from .config.args import build_train_clip_parser, postprocess_args
 from .data import ClipDataset, LongClipDataset, PrefetchLoader
 from .methods import LONGCLIP_METHODS, build_method, get_collate
 from .parallel import (TrainState, create_clip_optimizer, make_mesh,
-                       make_train_step, shard_batch)
+                       make_train_step)
 from .parallel.mesh import auto_data_axis
 from .utils import AverageMeter, setup_logger
-from .utils.checkpoint import latest_checkpoint, load_checkpoint, save_checkpoint
+from .utils.checkpoint import load_checkpoint, save_checkpoint
 
 
 def train_clip(cfg, args, logger=None, max_steps: int | None = None):
