@@ -49,6 +49,9 @@ def add_common_args(parser: argparse.ArgumentParser) -> None:
     parser.add_argument("--validation", type=str2bool, default=True)
     parser.add_argument("--lesslabel", type=str2bool, default=False)
     parser.add_argument("--weight_decay", type=float, default=1e-4)
+    parser.add_argument("--profile_dir", type=str, default="",
+                        help="capture a jax.profiler device trace of the "
+                             "first training steps into this directory")
     parser.add_argument("opts", help="KEY VALUE config overrides",
                         default=None, nargs=argparse.REMAINDER)
 

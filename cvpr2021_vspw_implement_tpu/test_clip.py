@@ -213,6 +213,55 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             logger.info(f"video {video}: mIoU {vmiou[video]:.4f} (streaming)")
         videos = []
 
+    if args.method == "tdnet":
+        # streaming single-frame inference with the rotating path schedule
+        # and 3-deep K/V/Q queues (reference: td4_psp.py:317-330 intent;
+        # pos_id = frame index % 4 like the trainer's rotation)
+        import functools
+        from .data import TestFrameDataset
+        from .models.td4_psp import init_td4_state
+
+        @functools.partial(jax.jit, static_argnames=("pos_id",))
+        def td4_step(img, state, pos_id):
+            out, new_state = model.apply(variables, img, pos_id=pos_id,
+                                         state=state)
+            return inference_pred((out,), img.shape[1:3]), new_state
+
+        for video in videos:
+            ds = TestFrameDataset(args.dataroot, video, args)
+            eval_video = Evaluator(args.num_class)
+            gt_list, pred_list = [], []
+            img0, _, _ = ds[0]
+
+            def os8(x):  # three stride-2 convs/pools with k3 p1
+                for _ in range(3):
+                    x = (x - 1) // 2 + 1
+                return x
+
+            fh, fw = os8(img0.shape[0]), os8(img0.shape[1])
+            tokens = (-(-fh // 3)) * (-(-fw // 3))
+            state = init_td4_state(batch=1, tokens=tokens)
+            for i in range(len(ds)):
+                img, gt, gtname = ds[i]
+                pred, state = td4_step(jnp.asarray(img[None]), state, i % 4)
+                pred = np.asarray(pred)[0]
+                evaluator.add_batch(gt[None], pred[None])
+                eval_video.add_batch(gt[None], pred[None])
+                gt_list.append(gt)
+                pred_list.append(pred)
+                if is_save and args.saveroot:
+                    odir = os.path.join(args.saveroot, video)
+                    os.makedirs(odir, exist_ok=True)
+                    out = Image.fromarray(pred.astype(np.uint8), mode="P")
+                    out.putpalette(palette)
+                    out.save(os.path.join(odir, gtname))
+            h, w = gt_list[0].shape
+            vc_accs.extend(get_common(gt_list, pred_list, args.vc_clip_num,
+                                      h, w))
+            vmiou[video] = eval_video.Mean_Intersection_over_Union()
+            logger.info(f"video {video}: mIoU {vmiou[video]:.4f} (tdnet stream)")
+        videos = []
+
     for video in videos:
         if args.method == "nonlocal3d":
             ev = _test_all_nonlocal3d(args, video, infer, evaluator, palette,

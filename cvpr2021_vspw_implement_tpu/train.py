@@ -101,6 +101,10 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
     from .utils.checkpoint import PreemptionCheckpointer
     preempt = PreemptionCheckpointer(cfg.DIR)
 
+    profile_dir = getattr(args, "profile_dir", "")
+    if profile_dir:
+        jax.profiler.start_trace(profile_dir)
+
     batch_time, data_time = AverageMeter(), AverageMeter()
     ave_loss, ave_acc = AverageMeter(), AverageMeter()
     total_steps = 0
@@ -111,6 +115,10 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
                 data_time.update(time.time() - tic)
                 batch = shard_batch(mesh, batch)
                 state, metrics = step_fn(state, batch, key)
+                if profile_dir and total_steps == 3:
+                    jax.profiler.stop_trace()
+                    logger.info(f"profiler trace written to {profile_dir}")
+                    profile_dir = ""
                 if preempt.requested:
                     path = preempt.maybe_save(state, total_steps)
                     logger.info(f"preemption: saved {path}; exiting")
