@@ -43,6 +43,7 @@ def _build_clip_ocr(cfg, args, dtype):
 
 def _build_netwarp(cfg, args, dtype, ocr: bool = False):
     from .models.netwarp import NetWarp, netwarp_loss
+    assert args.clip_num == 2, "netwarp needs clip_num=2 (netwarp.py:91)"
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
                                      remat=cfg.TPU.remat, args=args)
@@ -54,6 +55,8 @@ def _build_netwarp(cfg, args, dtype, ocr: bool = False):
 
 def _build_etc(cfg, args, dtype, ocr: bool = False):
     from .models.etc import ETC, etc_loss
+    assert args.clip_num == 2 and args.dilation_num == 0, \
+        "ETC needs clip_num=2, dilation_num=0 (ETC.py:70)"
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
                                      remat=cfg.TPU.remat, args=args)

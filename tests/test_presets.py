@@ -1,0 +1,29 @@
+"""Every shipped YAML preset must load and its architectures must build."""
+
+import glob
+import os
+
+import pytest
+
+from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+
+PRESETS = sorted(glob.glob(
+    "cvpr2021_vspw_implement_tpu/config/presets/*.yaml"))
+
+
+@pytest.mark.parametrize("preset", PRESETS, ids=os.path.basename)
+def test_preset_loads_and_builds(preset):
+    cfg = default_cfg.clone()
+    cfg.merge_from_file(preset)
+    assert cfg.DATASET.num_class == 124
+    if "clip" not in cfg.MODEL.arch_encoder:
+        ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
+                                   fc_dim=cfg.MODEL.fc_dim)
+    if cfg.MODEL.arch_decoder != "tdnet":  # tdnet bypasses the factory
+        ModelBuilder.build_decoder(cfg.MODEL.arch_decoder,
+                                   fc_dim=cfg.MODEL.fc_dim, num_class=124)
+
+
+def test_preset_count_matches_reference_zoo():
+    assert len(PRESETS) == 18
