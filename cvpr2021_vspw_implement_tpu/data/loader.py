@@ -21,7 +21,8 @@ class PrefetchLoader:
 
     def __init__(self, dataset, batch_size: int, collate: Callable,
                  shuffle: bool = True, seed: int = 0, prefetch: int = 2,
-                 drop_last: bool = True, num_threads: int = 2):
+                 drop_last: bool = True, num_threads: int = 2,
+                 host_id: int = 0, host_count: int = 1):
         self.dataset = dataset
         self.batch_size = batch_size
         self.collate = collate
@@ -30,6 +31,11 @@ class PrefetchLoader:
         self.prefetch = prefetch
         self.drop_last = drop_last
         self.num_threads = max(1, num_threads)
+        # multi-host sharding (the reference's vendored DistributedSampler,
+        # lib/utils/data/distributed.py): each host consumes a disjoint
+        # stride of the (identically shuffled) index stream
+        self.host_id = host_id
+        self.host_count = host_count
         self.epoch = 0
 
     def __len__(self):
@@ -42,6 +48,9 @@ class PrefetchLoader:
         order = np.arange(n)
         if self.shuffle:
             np.random.default_rng(self.seed + self.epoch).shuffle(order)
+        if self.host_count > 1:
+            order = order[self.host_id::self.host_count]
+            n = len(order)
         end = n - n % self.batch_size if self.drop_last else n
         for s in range(0, end, self.batch_size):
             yield order[s:s + self.batch_size]
