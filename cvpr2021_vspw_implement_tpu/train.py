@@ -158,6 +158,9 @@ def main():
     cfg.TRAIN.num_epoch = args.totalepoch
     cfg.TRAIN.weight_decay = args.weight_decay
     cfg.TRAIN.lr_encoder = cfg.TRAIN.lr_decoder = args.lr
+    if getattr(args, "use_float16", False):
+        # the reference's AMP flag (train.py:69-81) → bf16 compute on TPU
+        cfg.TPU.compute_dtype = "bfloat16"
 
     logger = setup_logger()
     logger.info(f"Loaded configuration file {args.cfg}")
