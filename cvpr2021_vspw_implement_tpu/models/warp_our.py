@@ -87,9 +87,10 @@ class WarpNet(nn.Module):
         es = emb_s.reshape(t1, b, *emb_s.shape[1:])
         target_e2, target_es = e2[-1], es[-1]
 
-        # the default (sigmoid) aggregation has a fused Pallas kernel on TPU
-        # (ops/pallas/local_agg.py): no HBM distance volume, MXU matmuls only
-        use_fused = (not self.distsoftmax and not self.distnearest
+        # the sigmoid (default) and distsoftmax aggregations have fused
+        # Pallas kernels on TPU (ops/pallas/local_agg.py): no HBM distance
+        # volume, MXU matmuls only
+        use_fused = (not self.distnearest
                      and jax.default_backend() not in ("cpu",)
                      and os.environ.get("VSPW_TPU_PALLAS", "1") == "1")
 
@@ -97,7 +98,11 @@ class WarpNet(nn.Module):
         for f in range(t1 - 1):
             per_scale = []
             for r in self.max_distances:
-                if use_fused:
+                if use_fused and self.distsoftmax:
+                    from ..ops.pallas.local_agg import local_softmax_aggregate
+                    per_scale.append(local_softmax_aggregate(
+                        target_e2, e2[f], es[f], r, temp=self.temp))
+                elif use_fused:
                     from ..ops.pallas.local_agg import local_sigmoid_aggregate
                     per_scale.append(local_sigmoid_aggregate(
                         target_e2, e2[f], es[f], r))

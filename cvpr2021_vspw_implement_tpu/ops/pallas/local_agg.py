@@ -68,6 +68,87 @@ def _kernel(x_ref, yd_ref, yv_ref, o_ref, *, r: int, w: int, cv: int):
     o_ref[0, 0] = (acc / (k * k)).astype(o_ref.dtype)
 
 
+def _softmax_kernel(x_ref, yd_ref, yv_ref, o_ref, *, r: int, h: int, w: int,
+                    cv: int, temp: float):
+    """distsoftmax mode (reference: warp_our.py:133-143): weights are a
+    softmax over the window of 1/(dist*temp + 1e-5), then the aggregation
+    still divides by k^2 (avgpool quirk).  Out-of-image window positions
+    carry dist = 1e20 exactly like the reference's |y|^2 padding — their
+    score ≈ 0 stays IN the softmax denominator.  Two passes over the dy
+    rows: max+denominator first, weighted accumulation second — all in VMEM."""
+    k = 2 * r + 1
+    hi = pl.program_id(1)
+    x = x_ref[0, 0].astype(jnp.float32)
+    x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, w + 2 * r), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, w + 2 * r), 0)
+    band = (col >= row) & (col <= row + 2 * r)
+    col_oob = (col < r) | (col >= w + r)
+
+    def scores(dy):
+        yd_row = yd_ref[0, pl.ds(hi + dy, 1)][0].astype(jnp.float32)
+        y2 = jnp.sum(jnp.square(yd_row), axis=-1)
+        m = jnp.dot(x, yd_row.T, preferred_element_type=jnp.float32)
+        dist = x2 + y2[None, :] - 2.0 * m
+        row_oob = ((hi + dy) < r) | ((hi + dy) >= h + r)
+        dist = jnp.where(col_oob | row_oob, 1e20, dist)
+        return 1.0 / (dist * temp + 1e-5)
+
+    # pass 1: window max + exp-sum (out-of-BAND → -inf; out-of-IMAGE stays)
+    neg = jnp.float32(-1e30)
+    mx = jnp.full((w, 1), neg, jnp.float32)
+    for dy in range(k):
+        s = jnp.where(band, scores(dy), neg)
+        mx = jnp.maximum(mx, jnp.max(s, axis=1, keepdims=True))
+    den = jnp.zeros((w, 1), jnp.float32)
+    for dy in range(k):
+        s = jnp.where(band, scores(dy), neg)
+        den = den + jnp.sum(jnp.where(band, jnp.exp(s - mx), 0.0), axis=1,
+                            keepdims=True)
+
+    # pass 2: weighted accumulation of the value rows
+    acc = jnp.zeros((w, cv), jnp.float32)
+    for dy in range(k):
+        s = jnp.where(band, scores(dy), neg)
+        wts = jnp.where(band, jnp.exp(s - mx), 0.0) / den
+        yv_row = yv_ref[0, pl.ds(hi + dy, 1)][0].astype(jnp.float32)
+        acc = acc + jnp.dot(wts, yv_row, preferred_element_type=jnp.float32)
+    o_ref[0, 0] = (acc / (k * k)).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "temp", "interpret"))
+def local_softmax_aggregate(x: jnp.ndarray, y_dist: jnp.ndarray,
+                            y_val: jnp.ndarray, r: int, temp: float = 3.0,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Fused distsoftmax window aggregation — see warp_one_scale's softmax
+    branch for the XLA formulation this matches."""
+    b, h, w, cd = x.shape
+    cv = y_val.shape[-1]
+    k = 2 * r + 1
+    yd_pad = jnp.pad(y_dist, ((0, 0), (r, r), (r, r), (0, 0)))
+    yv_pad = jnp.pad(y_val, ((0, 0), (r, r), (r, r), (0, 0)))
+
+    def full(cc):
+        return pl.BlockSpec((1, h + 2 * r, w + 2 * r, cc),
+                            lambda bi, hi: (bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_softmax_kernel, r=r, h=h, w=w, cv=cv, temp=temp),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, w, cd), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(cd), full(cv),
+        ],
+        out_specs=pl.BlockSpec((1, 1, w, cv), lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cv), y_val.dtype),
+        interpret=interpret,
+    )(x, yd_pad, yv_pad)
+
+
 @functools.partial(jax.jit, static_argnames=("r", "interpret"))
 def local_sigmoid_aggregate(x: jnp.ndarray, y_dist: jnp.ndarray,
                             y_val: jnp.ndarray, r: int,

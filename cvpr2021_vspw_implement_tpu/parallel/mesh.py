@@ -81,7 +81,24 @@ def replicated(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, spec: PartitionSpec | None = None):
     """Device-put a host batch pytree with the batch axis sharded on 'data'."""
-    sh = batch_sharding(mesh)
+    sh = batch_sharding(mesh) if spec is None else NamedSharding(mesh, spec)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, sh), batch)
+
+
+def device_prefetch(batch_iter, mesh: Mesh, spec: PartitionSpec | None = None,
+                    depth: int = 2):
+    """Overlap host→device transfer with compute: keep ``depth`` batches
+    in flight on the device ahead of the consumer (the TPU-native version of
+    the reference's side-stream ``async_copy_to``,
+    lib/nn/parallel/data_parallel.py:82-112)."""
+    import collections
+
+    queue = collections.deque()
+    for batch in batch_iter:
+        queue.append(shard_batch(mesh, batch, spec))
+        if len(queue) >= depth:
+            yield queue.popleft()
+    while queue:
+        yield queue.popleft()

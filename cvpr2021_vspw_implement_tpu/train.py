@@ -23,7 +23,7 @@ from .config.args import build_train_parser, postprocess_args
 from .data import FrameDataset, PrefetchLoader, collate_frames
 from .models import ModelBuilder, SegmentationModule
 from .parallel import (TrainState, create_frame_optimizer, make_mesh,
-                       make_train_step, shard_batch)
+                       make_train_step)
 from .utils import AverageMeter, setup_logger
 from .utils.checkpoint import save_checkpoint
 
@@ -108,12 +108,12 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
     batch_time, data_time = AverageMeter(), AverageMeter()
     ave_loss, ave_acc = AverageMeter(), AverageMeter()
     total_steps = 0
+    from .parallel.mesh import device_prefetch
     with mesh:
         for epoch in range(cfg.TRAIN.start_epoch, args.totalepoch):
             tic = time.time()
-            for i, batch in enumerate(loader):
+            for i, batch in enumerate(device_prefetch(iter(loader), mesh)):
                 data_time.update(time.time() - tic)
-                batch = shard_batch(mesh, batch)
                 state, metrics = step_fn(state, batch, key)
                 if profile_dir and total_steps == 3:
                     jax.profiler.stop_trace()

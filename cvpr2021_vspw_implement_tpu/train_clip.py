@@ -71,15 +71,16 @@ def train_clip(cfg, args, logger=None, max_steps: int | None = None):
     batch_time, data_time = AverageMeter(), AverageMeter()
     ave_loss, ave_acc = AverageMeter(), AverageMeter()
     total_steps = 0
+    from jax.sharding import PartitionSpec as P
+    from .parallel.mesh import device_prefetch
     with mesh:
         for epoch in range(start_epoch, args.totalepoch):
             tic = time.time()
-            for i, batch in enumerate(loader):
+            # clip time axis stays local; batch axis shards over 'data';
+            # transfers overlap compute via the prefetch queue
+            for i, batch in enumerate(
+                    device_prefetch(iter(loader), mesh, P(None, "data"))):
                 data_time.update(time.time() - tic)
-                # clip time axis stays local; batch axis shards over 'data'
-                from jax.sharding import NamedSharding, PartitionSpec as P
-                sh = NamedSharding(mesh, P(None, "data"))
-                batch = {k: jax.device_put(v, sh) for k, v in batch.items()}
                 if static_kwarg:
                     state, metrics = step_fn(state, batch, key,
                                              (total_steps + 1) % 4)
