@@ -297,6 +297,58 @@ def import_mobilenet_state_dict(state_dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_ppm_decoder_state_dict(state_dict, deepsup: bool = True) -> dict:
+    """torch PPM/PPMDeepsup decoder state_dict (reference layout:
+    ppm.{i}.1/2 branch conv+bn, conv_last_.0/1/4 (or conv_last.* for plain
+    PPM), cbr_deepsup.0/1, conv_last_deepsup_) → flax variables for
+    models.decoders.PPMDeepsup / PPM."""
+    params: dict = {}
+    stats: dict = {}
+    for name, tensor in state_dict.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        name = name.removeprefix("module.")
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        head = parts[0]
+        if head == "ppm":
+            i, sub = parts[1], parts[2]
+            if sub == "1":    # 1x1 conv
+                _set(params, ["ppm", f"ppm_{i}_conv", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            elif sub == "2":  # bn
+                _emit_bn(params, stats, ["ppm", f"ppm_{i}_bn"], leaf, t)
+        elif head in ("conv_last_", "conv_last"):
+            tail = "conv_last_" if deepsup else "conv_last"
+            sub = parts[1]
+            if sub == "0":
+                _set(params, [tail, "0", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            elif sub == "1":
+                _emit_bn(params, stats, [tail, "1"], leaf, t)
+            elif sub == "4":
+                _set(params, [tail, "cls", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+        elif head == "cbr_deepsup":
+            if parts[1] == "0":
+                _set(params, ["cbr_deepsup", "0", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            else:
+                _emit_bn(params, stats, ["cbr_deepsup", "1"], leaf, t)
+        elif head in ("conv_last_deepsup_", "conv_last_deepsup"):
+            _set(params, ["conv_last_deepsup_", "conv",
+                          "kernel" if leaf == "weight" else "bias"],
+                 _conv_kernel(t) if leaf == "weight" else t)
+        # other heads (dropout etc.) carry no params
+    return {"params": params, "batch_stats": stats}
+
+
 def load_raft_checkpoint(path: str) -> dict:
     """Load raft-things.pth (torch) → flax variables for models.raft.RAFT."""
     import torch

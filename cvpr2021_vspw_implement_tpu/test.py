@@ -30,6 +30,10 @@ def build_eval_parser():
     parser.add_argument("--num_class", type=int, default=124)
     parser.add_argument("--load", type=str, default="",
                         help="checkpoint (.msgpack) to evaluate")
+    parser.add_argument("--torch_enc", type=str, default="",
+                        help="reference torch encoder .pth (encoder_epoch_N)")
+    parser.add_argument("--torch_dec", type=str, default="",
+                        help="reference torch decoder .pth (decoder_epoch_N)")
     parser.add_argument("--saveroot", type=str, default="")
     parser.add_argument("--is_save", action="store_true")
     parser.add_argument("--lesslabel", action="store_true")
@@ -56,7 +60,6 @@ def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
         sample = jnp.zeros((1, 64, 64, 3), jnp.float32)
         variables = model.init({"params": key}, sample, train=False)
         if args.load:
-            from .parallel import TrainState
             # checkpoints store the full TrainState; restore params+stats
             import flax.serialization as ser
             with open(args.load, "rb") as f:
@@ -64,6 +67,36 @@ def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
             variables = {"params": tree["params"],
                          "batch_stats": tree["batch_stats"]}
             logger.info(f"loaded checkpoint {args.load}")
+        if getattr(args, "torch_enc", ""):
+            # reference torch encoder checkpoint (per-pixel fidelity path)
+            import torch as _torch
+            from .models.import_torch import (import_hrnet_state_dict,
+                                              import_mobilenet_state_dict,
+                                              import_resnet_state_dict,
+                                              merge_variables)
+            sd = _torch.load(args.torch_enc, map_location="cpu")
+            arch = cfg.MODEL.arch_encoder
+            if arch.startswith("hrnet"):
+                imported = import_hrnet_state_dict(sd)
+            elif arch.startswith("mobilenet"):
+                imported = import_mobilenet_state_dict(sd)
+            else:
+                imported = import_resnet_state_dict(sd)
+            variables = merge_variables(
+                dict(variables),
+                {c: {"encoder": v} for c, v in imported.items()})
+            logger.info(f"imported torch encoder {args.torch_enc}")
+        if getattr(args, "torch_dec", ""):
+            import torch as _torch
+            from .models.import_torch import (import_ppm_decoder_state_dict,
+                                              merge_variables)
+            sd = _torch.load(args.torch_dec, map_location="cpu")
+            imported = import_ppm_decoder_state_dict(
+                sd, deepsup="deepsup" in cfg.MODEL.arch_decoder)
+            variables = merge_variables(
+                dict(variables),
+                {c: {"decoder": v} for c, v in imported.items()})
+            logger.info(f"imported torch decoder {args.torch_dec}")
 
     @jax.jit
     def infer(img):
