@@ -96,11 +96,15 @@ class ClipPSP(nn.Module):
         return self.conv_last_cls(x)
 
     def encode_frame(self, img, train: bool = False):
-        """One frame → (C5 map, per-scale pooled stats).  Streaming-eval
-        building block: pooled stats are cached and reused across windows."""
+        """One frame → (C5 map, per-scale pooled stats [+ psp_weight logit]).
+        Streaming-eval building block: the stats are cached and reused
+        across windows."""
         conv_out = self.encoder(img, train=train)
         c5 = conv_out[-1]
         pooled = [adaptive_avg_pool2d(c5, s) for s in self.pool_scales]
+        if self.psp_weight:
+            wp = global_avg_pool(self.pspweight_conv(c5))     # [B,1,1,1]
+            return c5, (pooled, wp.reshape(-1))
         return c5, pooled
 
     def __call__(self, imgs, train: bool = False):

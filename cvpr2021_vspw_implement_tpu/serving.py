@@ -68,9 +68,16 @@ class _WindowStreamer:
 
 
 class ClipPSPStreamer(_WindowStreamer):
-    """TCB-PSP: cached stats = per-scale pooled pyramids (≤6x6xC each)."""
+    """TCB-PSP: cached stats = per-scale pooled pyramids (≤6x6xC each).
+
+    With ``psp_weight`` the cache also holds the per-frame scalar weight
+    logit; the blend replicates the reference's off-by-one pairing —
+    features ordered [target, ctx...] multiplied by softmax weights in
+    INPUT order [ctx..., target] (clip_psp.py:147-187), then mean."""
 
     def _build(self, model, variables):
+        self._psp_weight = bool(getattr(model, "psp_weight", False))
+
         @jax.jit
         def encode(img):
             return model.apply(variables, img, train=False,
@@ -84,12 +91,24 @@ class ClipPSPStreamer(_WindowStreamer):
 
         return encode, fuse
 
-    @staticmethod
-    def _blend(cache, idxs):
-        # mean over [target, ctx...] per scale — identical to the window
-        # forward's jnp.mean over the time axis
-        return [jnp.mean(jnp.stack([cache[k][s] for k in idxs]), 0)
-                for s in range(len(cache[idxs[0]]))]
+    def _blend(self, cache, idxs):
+        if not self._psp_weight:
+            # mean over [target, ctx...] per scale — identical to the window
+            # forward's jnp.mean over the time axis
+            return [jnp.mean(jnp.stack([cache[k][s] for k in idxs]), 0)
+                    for s in range(len(cache[idxs[0]]))]
+        target, ctx = idxs[0], idxs[1:]
+        # softmax over frames in input order (ctx..., target)
+        wps = jnp.stack([cache[k][1] for k in list(ctx) + [target]])  # [T,B]
+        w = jax.nn.softmax(wps.astype(jnp.float32), axis=0)
+        feats_order = [target] + list(ctx)  # reference feature order
+        out = []
+        n_scales = len(cache[target][0])
+        for s in range(n_scales):
+            stacked = jnp.stack([cache[k][0][s] for k in feats_order])
+            out.append(jnp.mean(
+                stacked * w[:, :, None, None, None].astype(stacked.dtype), 0))
+        return out
 
 
 class ClipOCRStreamer(_WindowStreamer):

@@ -177,7 +177,7 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
     # (serving.py); predictions are identical to the window formulation
     stream_cls = None
     if getattr(args, "streaming", True):
-        if args.method == "clip_psp" and not getattr(args, "psp_weight", False):
+        if args.method == "clip_psp":
             from .serving import ClipPSPStreamer as stream_cls
         elif (args.method == "clip_ocr" and not use_memory
               and not getattr(args, "clipocr_all", False)):

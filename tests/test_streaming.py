@@ -17,12 +17,12 @@ def vspw_root(tmp_path_factory):
     return str(root)
 
 
-def _args(root, streaming, method="clip_psp"):
+def _args(root, streaming, method="clip_psp", psp_weight=False):
     return argparse.Namespace(
         dataroot=root, split="val", num_class=5, method=method,
         clip_num=4, dilation_num=0, dilation2="1,2,3", vc_clip_num=4,
         lesslabel=False, use_memory=False, memory_num=8, clipocr_all=False,
-        psp_weight=False, deepsup_scale=0.4, st_weight=0.1, allsup=False,
+        psp_weight=psp_weight, deepsup_scale=0.4, st_weight=0.1, allsup=False,
         allsup_scale=0.3, linear_combine=False, distsoftmax=False,
         distnearest=False, temp=3.0, max_distances=[10], load="",
         saveroot="", is_save=False, streaming=streaming, fix=False,
@@ -54,6 +54,34 @@ def test_streaming_matches_window(vspw_root, tmp_path):
                                        variables=variables)
     assert m_stream["mIoU"] == pytest.approx(m_window["mIoU"], abs=1e-6)
     assert m_stream["Acc"] == pytest.approx(m_window["Acc"], abs=1e-6)
+    assert m_stream["VC"] == pytest.approx(m_window["VC"], abs=1e-6)
+
+
+def test_streaming_matches_window_psp_weight(vspw_root, tmp_path):
+    """psp_weight mode: streaming must replicate the quirky weight pairing."""
+    import jax
+    import jax.numpy as jnp
+    from cvpr2021_vspw_implement_tpu.methods import build_method
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.fc_dim = 512
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+
+    args_s = _args(vspw_root, True, psp_weight=True)
+    model, _ = build_method("clip_psp", cfg, args_s)
+    key = jax.random.PRNGKey(2)
+    sample = jnp.zeros((4, 1, 40, 48, 3), jnp.float32)
+    variables = model.init({"params": key, "dropout": key}, sample, train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    m_stream, _ = evaluate_clip(cfg, args_s, variables=variables)
+    m_window, _ = evaluate_clip(cfg, _args(vspw_root, False, psp_weight=True),
+                                variables=variables)
+    assert m_stream["mIoU"] == pytest.approx(m_window["mIoU"], abs=1e-6)
     assert m_stream["VC"] == pytest.approx(m_window["VC"], abs=1e-6)
 
 
