@@ -33,14 +33,12 @@ def _path_str(path) -> str:
     return "/".join(str(getattr(k, "key", getattr(k, "idx", k))) for k in path)
 
 
-def make_masks(params, decay_rule: str, encoder_key: str = "encoder"):
-    """Build (decay_mask, lr_mult) pytrees.
+def make_masks(params, decay_rule: str):
+    """Build the weight-decay mask pytree.
 
     decay_rule:
       * "kernels"  — decay conv/linear kernels only (train.py group_weight)
       * "non_bias" — decay everything except biases (train_clip2 recipe)
-    lr_mult is 0.1 for params under ``encoder_key`` and 1.0 elsewhere
-    (used by the clip recipe; pass mult_encoder=1.0 to disable).
     """
     def decay_leaf(path, _):
         name = _path_str(path)

@@ -5,9 +5,10 @@ mIoU, in-loop VC (video consistency) and optional palette PNG dumps.
 Supports the clip_ocr streaming memory (cleaned at each video start —
 reference ``is_clean_memory``, test_clip2.py:44-48).
 
-TPU-native serving note: like the reference, each eval frame encodes its
-full context window; the jitted step is cached per (T, H, W) shape, so a
-video costs one compile.
+TPU-native serving note: TCB-PSP/TCB-OCR take the streaming fast path
+(serving.py — every frame encoded once, bit-identical to the window
+formulation); other methods encode their window per frame like the
+reference, with the jitted step cached per (T, H, W) shape.
 """
 
 from __future__ import annotations
