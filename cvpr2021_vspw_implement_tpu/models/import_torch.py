@@ -349,6 +349,70 @@ def import_ppm_decoder_state_dict(state_dict, deepsup: bool = True) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_clip_psp_state_dict(state_dict) -> dict:
+    """Fused Clip_PSP checkpoint (the clip trainer saves one model —
+    reference: train_clip2.py:179-189; layout: encoder.*, ppm_conv.ppm.{i}.0/1,
+    ppm_conv.conv_last_.{0,1,4}, deepsup.{0,1,4}, pspweight_conv.0) → flax
+    variables for models.clip_psp.ClipPSP."""
+    enc_sd, rest = {}, {}
+    for name, tensor in state_dict.items():
+        name = name.removeprefix("module.")
+        if name.startswith("encoder."):
+            enc_sd[name[len("encoder."):]] = tensor
+        else:
+            rest[name] = tensor
+
+    out = import_resnet_state_dict(enc_sd)
+    params = {"encoder": out["params"]}
+    stats = {"encoder": out["batch_stats"]}
+
+    for name, tensor in rest.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] == "ppm_conv" and parts[1] == "ppm":
+            i, sub = parts[2], parts[3]
+            if sub == "0":
+                _set(params, [f"ppm_convs_{i}", "conv", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            else:
+                _emit_bn(params, stats, [f"ppm_convs_{i}", "bn"], leaf, t)
+        elif parts[0] == "ppm_conv" and parts[1] == "conv_last_":
+            sub = parts[2]
+            if sub == "0":
+                _set(params, ["conv_last_conv", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            elif sub == "1":
+                _emit_bn(params, stats, ["conv_last_bn"], leaf, t)
+            elif sub == "4":
+                _set(params, ["conv_last_cls", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+        elif parts[0] == "deepsup":
+            sub = parts[1]
+            if sub == "0":
+                _set(params, ["deepsup_conv", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            elif sub == "1":
+                _emit_bn(params, stats, ["deepsup_bn"], leaf, t)
+            elif sub == "4":
+                _set(params, ["deepsup_cls", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+        elif parts[0] == "pspweight_conv":
+            _set(params, ["pspweight_conv", "conv",
+                          "kernel" if leaf == "weight" else "bias"],
+                 _conv_kernel(t) if leaf == "weight" else t)
+        # crit etc. carry no params
+    return {"params": params, "batch_stats": stats}
+
+
 def load_raft_checkpoint(path: str) -> dict:
     """Load raft-things.pth (torch) → flax variables for models.raft.RAFT."""
     import torch

@@ -37,6 +37,8 @@ def build_eval_clip_parser():
     p.add_argument("--num_class", type=int, default=124)
     p.add_argument("--method", type=str, default="clip_psp")
     p.add_argument("--load", type=str, default="")
+    p.add_argument("--torch_load", type=str, default="",
+                   help="reference fused clip model .pth (clip_psp only)")
     p.add_argument("--saveroot", type=str, default="")
     p.add_argument("--is_save", action="store_true")
     p.add_argument("--lesslabel", action="store_true")
@@ -144,6 +146,17 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             variables = {"params": tree["params"],
                          "batch_stats": tree["batch_stats"]}
             logger.info(f"loaded checkpoint {args.load}")
+        if getattr(args, "torch_load", ""):
+            # fused reference clip checkpoint (train_clip2.py:179-189)
+            import torch as _torch
+            from .models.import_torch import (import_clip_psp_state_dict,
+                                              merge_variables)
+            assert args.method == "clip_psp", \
+                "--torch_load currently supports clip_psp fused checkpoints"
+            sd = _torch.load(args.torch_load, map_location="cpu")
+            variables = merge_variables(dict(variables),
+                                        import_clip_psp_state_dict(sd))
+            logger.info(f"imported fused torch checkpoint {args.torch_load}")
 
     if use_memory:
         @jax.jit
