@@ -165,6 +165,11 @@ class PPMDeepsupClip(nn.Module):
                              name="ppm")(conv_out[-1], train)
         emb = PPMLastConv(None, self.fc_dim, len(self.pool_scales),
                           self.dtype, name="conv_last_")(ppm_out, train)
+        # the deepsup branch only feeds training losses in every consumer
+        # (NetWarp/ETC/ClipWarpNet/PropNet) — skip it at inference, except
+        # during init where its params must be created
+        if not train and not self.is_initializing():
+            return None, emb, ppm_out
         d = ConvBNReLU(self.fc_dim // 4, dtype=self.dtype,
                        bn_bias_init=_bn_bias_init,
                        name="cbr_deepsup")(conv_out[-2], train)

@@ -94,18 +94,78 @@ class NetWarp(nn.Module):
     raft_iters: int = 20
     dtype: Any = None
 
+    def setup(self):
+        self.raft = RAFT(iters=self.raft_iters, dtype=self.dtype)
+        self.flowcnn = FlowCNN(dtype=self.dtype)
+        self.w0_0 = self.param("w0_0", nn.initializers.ones, (self.fc_dim,))
+        self.w0_1 = self.param("w0_1", nn.initializers.zeros, (self.fc_dim,))
+        if self.ocr:
+            self.decoder = SpatialOCRAsDec(self.num_class, dtype=self.dtype)
+            blend_dim = 512
+            self.head = Conv(self.num_class, 1, dtype=self.dtype)
+        else:
+            self.decoder = PPMDeepsupClip(self.num_class, self.fc_dim,
+                                          dtype=self.dtype)
+            blend_dim = self.fc_dim + 4 * 512
+            self.conv_last_0 = Conv(512, 3, padding=1, use_bias=False,
+                                    dtype=self.dtype)
+            self.conv_last_1 = BatchNorm2d(512, dtype=self.dtype,
+                                           bias_init=_bn_bias_init)
+            self.conv_last_drop = Dropout2d(0.1)
+            self.conv_last_cls = Conv(self.num_class, 1, dtype=self.dtype)
+        self.w1_0 = self.param("w1_0", nn.initializers.ones, (blend_dim,))
+        self.w1_1 = self.param("w1_1", nn.initializers.zeros, (blend_dim,))
+
     def _flow(self, target, prev, train):
         c_img_f = denormalize_255(target)
         c_pre_f = denormalize_255(prev)
         pad_t, pads = pad_to_multiple_of_8(c_img_f)
         pad_p, _ = pad_to_multiple_of_8(c_pre_f)
-        _, flow = RAFT(iters=self.raft_iters, dtype=self.dtype,
-                       name="raft")(pad_t, pad_p, test_mode=True)
+        _, flow = self.raft(pad_t, pad_p, test_mode=True)
         flow = jax.lax.stop_gradient(unpad(flow, pads))
-        return FlowCNN(dtype=self.dtype, name="flowcnn")(
-            c_img_f, c_pre_f, flow, train)
+        return self.flowcnn(c_img_f, c_pre_f, flow, train)
 
-    @nn.compact
+    def _decode_feats(self, conv_out, train):
+        """Decoder features that get flow-blended: ppm_out (plain) or the
+        OCR 512-d feats; plus the deep-supervision logits (train only)."""
+        if self.ocr:
+            feats, dsn = self.decoder(conv_out, train)
+            return feats, dsn
+        deepsup, _emb, ppm_out = self.decoder(conv_out, train)
+        return ppm_out, deepsup
+
+    def _classify(self, new_feat, train):
+        if self.ocr:
+            return self.head(new_feat)
+        x = nn.relu(self.conv_last_1(self.conv_last_0(new_feat), train))
+        x = self.conv_last_drop(x, train)
+        return self.conv_last_cls(x)
+
+    def encode_frame(self, img, train: bool = False):
+        """One frame → (c5, decoder feats[, c4 for OCR's dsn]) — the
+        streaming-eval cache (prev frames' features are consumed unblended,
+        netwarp.py:196-217)."""
+        conv_out = self.encoder(img, train=train)
+        feats, _ = self._decode_feats(conv_out, train)
+        return conv_out[-1], feats
+
+    def fuse_pair(self, target_img, prev_img, c5_t, c5_p, feats_p,
+                  conv_out_t_rest=None, train: bool = False):
+        """Pair-specific work: flow, blends, target decode, classifier.
+
+        conv_out_t_rest: the target's [c2, c3, c4] (needed by the OCR
+        decoder's dsn head; None for the plain decoder)."""
+        flow = self._flow(target_img, prev_img, train)
+        flow_1 = resize_nearest(flow, c5_t.shape[1:3])
+        warp_1 = flowwarp(c5_p, flow_1.astype(c5_p.dtype))
+        new_c5_t = self.w0_0 * c5_t + self.w0_1 * warp_1
+        conv_out = list(conv_out_t_rest or [new_c5_t] * 3)[:3] + [new_c5_t]
+        feats_t, deepsup = self._decode_feats(conv_out, train)
+        flow_2 = resize_nearest(flow, feats_t.shape[1:3])
+        warp_2 = flowwarp(feats_p, flow_2.astype(feats_p.dtype))
+        new_feat = self.w1_0 * feats_t + self.w1_1 * warp_2
+        return self._classify(new_feat, train), deepsup
+
     def __call__(self, imgs, train: bool = False):
         """imgs: [2, B, H, W, 3] — [prev, target] (target LAST)."""
         prev, target = imgs[0], imgs[1]
@@ -118,44 +178,16 @@ class NetWarp(nn.Module):
         c5_t, c5_p = c5[:b], c5[b:]
         flow_1 = resize_nearest(flow, c5.shape[1:3])
         warp_1 = flowwarp(c5_p, flow_1.astype(c5.dtype))
-        w0_0 = self.param("w0_0", nn.initializers.ones, (self.fc_dim,))
-        w0_1 = self.param("w0_1", nn.initializers.zeros, (self.fc_dim,))
-        new_c5_t = w0_0 * c5_t + w0_1 * warp_1
+        new_c5_t = self.w0_0 * c5_t + self.w0_1 * warp_1
         conv_out = list(conv_out)
         conv_out[-1] = jnp.concatenate([new_c5_t, c5_p], axis=0)
 
-        if self.ocr:
-            feats, dsn = SpatialOCRAsDec(self.num_class, dtype=self.dtype,
-                                         name="decoder")(conv_out, train)
-            blend_dim = 512
-            f_t, f_p = feats[:b], feats[b:]
-            flow_2 = resize_nearest(flow, feats.shape[1:3])
-            warp_2 = flowwarp(f_p, flow_2.astype(feats.dtype))
-            w1_0 = self.param("w1_0", nn.initializers.ones, (blend_dim,))
-            w1_1 = self.param("w1_1", nn.initializers.zeros, (blend_dim,))
-            new_feat = w1_0 * f_t + w1_1 * warp_2
-            pred = Conv(self.num_class, 1, dtype=self.dtype,
-                        name="head")(new_feat)
-            return (pred,) if not train else (pred, dsn)
-
-        dec = PPMDeepsupClip(self.num_class, self.fc_dim, dtype=self.dtype,
-                             name="decoder")
-        deepsup, _emb, ppm_out = dec(conv_out, train)
-        blend_dim = self.fc_dim + 4 * 512
-        f_t, f_p = ppm_out[:b], ppm_out[b:]
-        flow_2 = resize_nearest(flow, ppm_out.shape[1:3])
-        warp_2 = flowwarp(f_p, flow_2.astype(ppm_out.dtype))
-        w1_0 = self.param("w1_0", nn.initializers.ones, (blend_dim,))
-        w1_1 = self.param("w1_1", nn.initializers.zeros, (blend_dim,))
-        new_feat = w1_0 * f_t + w1_1 * warp_2
-        x = Conv(512, 3, padding=1, use_bias=False, dtype=self.dtype,
-                 name="conv_last_0")(new_feat)
-        x = BatchNorm2d(512, dtype=self.dtype, bias_init=_bn_bias_init,
-                        name="conv_last_1")(x, train)
-        x = nn.relu(x)
-        x = Dropout2d(0.1, name="conv_last_drop")(x, train)
-        pred = Conv(self.num_class, 1, dtype=self.dtype,
-                    name="conv_last_cls")(x)
+        feats, deepsup = self._decode_feats(conv_out, train)
+        f_t, f_p = feats[:b], feats[b:]
+        flow_2 = resize_nearest(flow, feats.shape[1:3])
+        warp_2 = flowwarp(f_p, flow_2.astype(feats.dtype))
+        new_feat = self.w1_0 * f_t + self.w1_1 * warp_2
+        pred = self._classify(new_feat, train)
         return (pred,) if not train else (pred, deepsup)
 
 

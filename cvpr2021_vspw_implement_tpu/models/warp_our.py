@@ -151,7 +151,8 @@ class ClipWarpNet(nn.Module):
             self.num_class, self.fc_dim, dtype=self.dtype,
             name="decoder")(conv_out, enc_dec_train)
         if fix:
-            deepsup = jax.lax.stop_gradient(deepsup)
+            if deepsup is not None:
+                deepsup = jax.lax.stop_gradient(deepsup)
             clip_embs = jax.lax.stop_gradient(clip_embs)
 
         warp = WarpNet(

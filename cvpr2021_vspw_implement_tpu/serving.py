@@ -111,6 +111,61 @@ class ClipPSPStreamer(_WindowStreamer):
         return out
 
 
+class NetWarpStreamer:
+    """NetWarp eval with per-frame feature caching (plain decoder,
+    dilation_num == 0, clip_num == 2 — the reference's only NetWarp
+    config).  Each frame's encoder + decoder features are computed ONCE;
+    per pair only RAFT + FlowCNN + blends + the target-side decode run —
+    predictions identical to the window path, ~1.8x less compute."""
+
+    def __init__(self, model, variables, num_frames: int, seg_size):
+        assert not model.ocr, "feature caching needs the plain decoder"
+        self.n = num_frames
+        self.seg_size = tuple(seg_size)
+
+        @jax.jit
+        def encode(img):
+            return model.apply(variables, img, train=False,
+                               method=model.encode_frame)
+
+        @jax.jit
+        def fuse(target_img, prev_img, c5_t, c5_p, feats_p):
+            pred, _ = model.apply(variables, target_img, prev_img, c5_t,
+                                  c5_p, feats_p, train=False,
+                                  method=model.fuse_pair)
+            return inference_pred((pred,), self.seg_size)
+
+        self._encode = encode
+        self._fuse = fuse
+
+    def context_index(self, i: int) -> int:
+        """TestDataset_clip window for clip_num=2 (dataset2.py:276-300):
+        the previous frame, except the first frame uses the next one."""
+        return 1 if i == 0 else i - 1
+
+    def run(self, frames):
+        """frames: list of [H, W, 3] normalized frames.
+        Yields (frame_idx, pred [H, W] uint8) in order."""
+        cache: dict[int, tuple] = {}
+
+        def get(idx):
+            if idx not in cache:
+                cache[idx] = self._encode(jnp.asarray(frames[idx][None]))
+            return cache[idx]
+
+        for i in range(self.n):
+            j = self.context_index(i)
+            c5_t, _feats_t = get(i)
+            c5_p, feats_p = get(j)
+            pred = self._fuse(jnp.asarray(frames[i][None]),
+                              jnp.asarray(frames[j][None]),
+                              c5_t, c5_p, feats_p)
+            yield i, np.asarray(pred)[0]
+            # future pairs only reference frames >= i
+            for k in [k for k in cache if k < i]:
+                del cache[k]
+
+
 class ClipOCRStreamer(_WindowStreamer):
     """TCB-OCR (no memory): cached stats = [B, K, 512] region contexts."""
 

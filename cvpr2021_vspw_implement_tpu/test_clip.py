@@ -196,6 +196,35 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
         elif (args.method == "clip_ocr" and not use_memory
               and not getattr(args, "clipocr_all", False)):
             from .serving import ClipOCRStreamer as stream_cls
+        elif args.method == "netwarp" and args.dilation_num == 0:
+            from .data import TestFrameDataset
+            from .serving import NetWarpStreamer
+            for video in videos:
+                ds = TestFrameDataset(args.dataroot, video, args)
+                eval_video = Evaluator(args.num_class)
+                items = [ds[i] for i in range(len(ds))]
+                h0, w0 = items[0][0].shape[:2]
+                streamer = NetWarpStreamer(model, variables, len(ds),
+                                           (h0, w0))
+                gt_list = [it[1] for it in items]
+                pred_list = [None] * len(ds)
+                for i, pred in streamer.run([it[0] for it in items]):
+                    pred_list[i] = pred
+                    evaluator.add_batch(gt_list[i][None], pred[None])
+                    eval_video.add_batch(gt_list[i][None], pred[None])
+                    if is_save and args.saveroot:
+                        odir = os.path.join(args.saveroot, video)
+                        os.makedirs(odir, exist_ok=True)
+                        out = Image.fromarray(pred.astype(np.uint8), mode="P")
+                        out.putpalette(palette)
+                        out.save(os.path.join(odir, items[i][2]))
+                h, w = gt_list[0].shape
+                vc_accs.extend(get_common(gt_list, pred_list,
+                                          args.vc_clip_num, h, w))
+                vmiou[video] = eval_video.Mean_Intersection_over_Union()
+                logger.info(f"video {video}: mIoU {vmiou[video]:.4f} "
+                            "(netwarp streaming)")
+            videos = []
     if stream_cls is not None:
         from .data import TestFrameDataset
         dil = args.dilation2

@@ -85,6 +85,50 @@ def test_streaming_matches_window_psp_weight(vspw_root, tmp_path):
     assert m_stream["VC"] == pytest.approx(m_window["VC"], abs=1e-6)
 
 
+def test_streaming_matches_window_netwarp(vspw_root, tmp_path):
+    import jax
+    import jax.numpy as jnp
+    from cvpr2021_vspw_implement_tpu.methods import build_method
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.fc_dim = 512
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+
+    def nw_args(streaming):
+        a = _args(vspw_root, streaming, method="netwarp")
+        a.clip_num = 2
+        a.dilation_num = 0
+        return a
+
+    model, _ = build_method("netwarp", cfg, nw_args(True))
+    # tiny RAFT for the CPU test
+    model = model.clone(raft_iters=2)
+    key = jax.random.PRNGKey(3)
+    sample = jnp.zeros((2, 1, 40, 48, 3), jnp.float32)
+    variables = model.init({"params": key, "dropout": key}, sample, train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables["batch_stats"]}
+
+    import cvpr2021_vspw_implement_tpu.methods as methods_mod
+    orig = methods_mod._build_netwarp
+
+    def patched(cfg_, args_, dtype=None, ocr=False):
+        m, l = orig(cfg_, args_, dtype, ocr=ocr)
+        return m.clone(raft_iters=2), l
+
+    methods_mod.METHODS["netwarp"] = patched
+    try:
+        m_stream, _ = evaluate_clip(cfg, nw_args(True), variables=variables)
+        m_window, _ = evaluate_clip(cfg, nw_args(False), variables=variables)
+    finally:
+        methods_mod.METHODS["netwarp"] = orig
+    assert m_stream["mIoU"] == pytest.approx(m_window["mIoU"], abs=1e-6)
+    assert m_stream["VC"] == pytest.approx(m_window["VC"], abs=1e-6)
+
+
 def test_streaming_matches_window_clip_ocr(vspw_root, tmp_path):
     import jax
     import jax.numpy as jnp
