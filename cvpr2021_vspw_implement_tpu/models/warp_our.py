@@ -87,11 +87,9 @@ class WarpNet(nn.Module):
         es = emb_s.reshape(t1, b, *emb_s.shape[1:])
         target_e2, target_es = e2[-1], es[-1]
 
-        # the sigmoid (default) and distsoftmax aggregations have fused
-        # Pallas kernels on TPU (ops/pallas/local_agg.py): no HBM distance
-        # volume, MXU matmuls only
-        use_fused = (not self.distnearest
-                     and jax.default_backend() not in ("cpu",)
+        # every aggregation mode has a fused Pallas kernel on TPU
+        # (ops/pallas/local_agg.py): no HBM distance volume, MXU matmuls only
+        use_fused = (jax.default_backend() not in ("cpu",)
                      and os.environ.get("VSPW_TPU_PALLAS", "1") == "1")
 
         final = [target_es]
@@ -102,6 +100,10 @@ class WarpNet(nn.Module):
                     from ..ops.pallas.local_agg import local_softmax_aggregate
                     per_scale.append(local_softmax_aggregate(
                         target_e2, e2[f], es[f], r, temp=self.temp))
+                elif use_fused and self.distnearest:
+                    from ..ops.pallas.local_agg import local_nearest_aggregate
+                    per_scale.append(local_nearest_aggregate(
+                        target_e2, e2[f], es[f], r))
                 elif use_fused:
                     from ..ops.pallas.local_agg import local_sigmoid_aggregate
                     per_scale.append(local_sigmoid_aggregate(

@@ -149,6 +149,82 @@ def local_softmax_aggregate(x: jnp.ndarray, y_dist: jnp.ndarray,
     )(x, yd_pad, yv_pad)
 
 
+def _nearest_kernel(x_ref, yd_ref, yv_ref, o_ref, *, r: int, h: int, w: int,
+                    cv: int):
+    """distnearest mode (reference: warp_our.py:145-151): gather the value at
+    the argMAX raw distance over the window (the reference's famous
+    max-not-min quirk; out-of-image positions carry dist 1e20 and win).
+    First-occurrence tie-breaking matches torch.max: the scan prefers the
+    earliest (dy, dx) with a strictly greater distance.  The gather is a
+    one-hot matmul — no dynamic indexing."""
+    k = 2 * r + 1
+    hi = pl.program_id(1)
+    x = x_ref[0, 0].astype(jnp.float32)
+    x2 = jnp.sum(jnp.square(x), axis=-1, keepdims=True)
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (w, w + 2 * r), 1)
+    row = jax.lax.broadcasted_iota(jnp.int32, (w, w + 2 * r), 0)
+    band = (col >= row) & (col <= row + 2 * r)
+    col_oob = (col < r) | (col >= w + r)
+
+    best = jnp.full((w, 1), -jnp.inf, jnp.float32)
+    acc = jnp.zeros((w, cv), jnp.float32)
+    for dy in range(k):
+        yd_row = yd_ref[0, pl.ds(hi + dy, 1)][0].astype(jnp.float32)
+        yv_row = yv_ref[0, pl.ds(hi + dy, 1)][0].astype(jnp.float32)
+        y2 = jnp.sum(jnp.square(yd_row), axis=-1)
+        m = jnp.dot(x, yd_row.T, preferred_element_type=jnp.float32)
+        dist = x2 + y2[None, :] - 2.0 * m
+        row_oob = ((hi + dy) < r) | ((hi + dy) >= h + r)
+        dist = jnp.where(col_oob | row_oob, 1e20, dist)
+        dist = jnp.where(band, dist, -jnp.inf)
+        rowmax = jnp.max(dist, axis=1, keepdims=True)
+        # first-occurrence one-hot within this dy row (Mosaic has no cumsum:
+        # pick the minimal column index among the maxima instead)
+        eq = (dist == rowmax) & band
+        min_col = jnp.min(jnp.where(eq, col, jnp.int32(2 ** 30)), axis=1,
+                          keepdims=True)
+        first = eq & (col == min_col)
+        cand = jnp.dot(first.astype(jnp.float32), yv_row,
+                       preferred_element_type=jnp.float32)
+        take = rowmax > best            # strict: earlier dy wins ties
+        best = jnp.where(take, rowmax, best)
+        acc = jnp.where(take, cand, acc)
+    o_ref[0, 0] = acc.astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "interpret"))
+def local_nearest_aggregate(x: jnp.ndarray, y_dist: jnp.ndarray,
+                            y_val: jnp.ndarray, r: int,
+                            interpret: bool = False) -> jnp.ndarray:
+    """Fused distnearest window aggregation — see warp_one_scale's nearest
+    branch for the XLA formulation this matches."""
+    b, h, w, cd = x.shape
+    cv = y_val.shape[-1]
+    k = 2 * r + 1
+    yd_pad = jnp.pad(y_dist, ((0, 0), (r, r), (r, r), (0, 0)))
+    yv_pad = jnp.pad(y_val, ((0, 0), (r, r), (r, r), (0, 0)))
+
+    def full(cc):
+        return pl.BlockSpec((1, h + 2 * r, w + 2 * r, cc),
+                            lambda bi, hi: (bi, 0, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    return pl.pallas_call(
+        functools.partial(_nearest_kernel, r=r, h=h, w=w, cv=cv),
+        grid=(b, h),
+        in_specs=[
+            pl.BlockSpec((1, 1, w, cd), lambda bi, hi: (bi, hi, 0, 0),
+                         memory_space=pltpu.VMEM),
+            full(cd), full(cv),
+        ],
+        out_specs=pl.BlockSpec((1, 1, w, cv), lambda bi, hi: (bi, hi, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, cv), y_val.dtype),
+        interpret=interpret,
+    )(x, yd_pad, yv_pad)
+
+
 @functools.partial(jax.jit, static_argnames=("r", "interpret"))
 def local_sigmoid_aggregate(x: jnp.ndarray, y_dist: jnp.ndarray,
                             y_val: jnp.ndarray, r: int,

@@ -31,6 +31,25 @@ def test_local_sigmoid_aggregate_matches_xla(r, shape):
 
 
 @pytest.mark.parametrize("r", [1, 2])
+def test_local_nearest_aggregate_matches_xla(r):
+    from cvpr2021_vspw_implement_tpu.models.warp_our import warp_one_scale
+    from cvpr2021_vspw_implement_tpu.ops.pallas.local_agg import (
+        local_nearest_aggregate)
+    rng = np.random.default_rng(2)
+    shape = (2, 5, 7, 6)
+    x = jnp.asarray(rng.standard_normal(shape, np.float32))
+    y = jnp.asarray(rng.standard_normal(shape, np.float32))
+    yv = jnp.asarray(rng.standard_normal(shape[:3] + (8,), np.float32))
+
+    dist = local_pairwise_dist(x, y, r)
+    ref = warp_one_scale(dist, yv, r, distsoftmax=False, distnearest=True,
+                         temp=3.0, emb_dim=8)
+    out = local_nearest_aggregate(x, y, yv, r, interpret=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-5)
+
+
+@pytest.mark.parametrize("r", [1, 2])
 def test_local_softmax_aggregate_matches_xla(r):
     from cvpr2021_vspw_implement_tpu.models.warp_our import warp_one_scale
     rng = np.random.default_rng(1)
