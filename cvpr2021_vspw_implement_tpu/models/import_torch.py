@@ -413,6 +413,17 @@ def import_clip_psp_state_dict(state_dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_td4_encoders(state_dict) -> dict:
+    """Replicate a deep-stem ResNet checkpoint into TDNet's four path
+    encoders (the reference loads the same pretrained weights into
+    pretrained1..4 — td4_psp.py:207-212 pretrained_init)."""
+    enc = import_resnet_state_dict(state_dict)
+    return {
+        "params": {f"paths_{i}": enc["params"] for i in range(4)},
+        "batch_stats": {f"paths_{i}": enc["batch_stats"] for i in range(4)},
+    }
+
+
 def load_raft_checkpoint(path: str) -> dict:
     """Load raft-things.pth (torch) → flax variables for models.raft.RAFT."""
     import torch
