@@ -67,6 +67,8 @@ def build_train_parser() -> argparse.ArgumentParser:
     parser.add_argument("--clip_num", type=int, default=4)
     parser.add_argument("--dilation_num", type=int, default=0)
     parser.add_argument("--use_float16", type=str2bool, default=False)
+    parser.add_argument("--resume", type=str2bool, default=False,
+                        help="resume from the latest checkpoint in DIR")
     return parser
 
 

@@ -84,6 +84,14 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
                                 weight_decay=args.weight_decay,
                                 lr_pow=cfg.TRAIN.lr_pow)
     state = TrainState.create(variables, tx)
+    start_epoch = cfg.TRAIN.start_epoch
+    if getattr(args, "resume", False):
+        from .utils.checkpoint import latest_checkpoint, load_checkpoint
+        latest = latest_checkpoint(cfg.DIR)
+        if latest:
+            state = load_checkpoint(latest, state)
+            start_epoch = int(latest.rsplit("_", 1)[1].split(".")[0])
+            logger.info(f"resumed from {latest} (epoch {start_epoch})")
     n_params = sum(np.prod(p.shape) for p in
                    jax.tree_util.tree_leaves(variables["params"]))
     logger.info(f"model params: {n_params/1e6:.1f}M; "
@@ -110,7 +118,7 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
     total_steps = 0
     from .parallel.mesh import device_prefetch
     with mesh:
-        for epoch in range(cfg.TRAIN.start_epoch, args.totalepoch):
+        for epoch in range(start_epoch, args.totalepoch):
             tic = time.time()
             for i, batch in enumerate(device_prefetch(iter(loader), mesh)):
                 data_time.update(time.time() - tic)
