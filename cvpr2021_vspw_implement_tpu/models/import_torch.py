@@ -413,6 +413,84 @@ def import_clip_psp_state_dict(state_dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_ocr_decoder_state_dict(state_dict) -> dict:
+    """torch SpatialOCRNet decoder state_dict (reference layout:
+    conv_3x3.{0,1}, dsn_head.{0,1,4}, spatial_ocr_head.object_context_block.
+    {f_pixel,f_object}.{0,1,3,4} / f_down.{0,1} / f_up.{0,1},
+    spatial_ocr_head.conv_bn_dropout.{0,1}, head) → flax variables for
+    models.ocr.SpatialOCRNet."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put(flax, leaf, t):
+        _set(params, flax + ["conv", "kernel" if leaf == "weight" else "bias"],
+             _conv_kernel(t) if leaf == "weight" else t)
+
+    for name, tensor in state_dict.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        name = name.removeprefix("module.")
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        head = parts[0]
+        if head == "conv_3x3":
+            if parts[1] == "0":
+                put(["conv_3x3_conv"], leaf, t)
+            else:
+                _emit_bn(params, stats, ["conv_3x3_bn"], leaf, t)
+        elif head == "dsn_head":
+            if parts[1] == "0":
+                put(["dsn_head_cbr", "0"], leaf, t)
+            elif parts[1] == "1":
+                _emit_bn(params, stats, ["dsn_head_cbr", "1"], leaf, t)
+            elif parts[1] == "4":
+                put(["dsn_cls"], leaf, t)
+        elif head == "head":
+            put(["head"], leaf, t)
+        elif head == "spatial_ocr_head":
+            sub = parts[1]
+            if sub == "conv_bn_dropout":
+                if parts[2] == "0":
+                    put(["spatial_ocr_head", "fuse_conv"], leaf, t)
+                else:
+                    _emit_bn(params, stats, ["spatial_ocr_head", "fuse_bn"],
+                             leaf, t)
+            elif sub == "object_context_block":
+                blk = parts[2]  # f_pixel | f_object | f_down | f_up
+                idx = parts[3]
+                base = ["spatial_ocr_head", "object_context_block"]
+                if blk == "f_pixel":
+                    # Sequential(conv,bn,relu,conv,bn,relu): 0/1 → _0, 3/4 → _1
+                    stage = "0" if idx in ("0", "1") else "1"
+                    if idx in ("0", "3"):
+                        put(base + [f"f_pixel_{stage}_conv"], leaf, t)
+                    else:
+                        _emit_bn(params, stats,
+                                 base + [f"f_pixel_{stage}_bn"], leaf, t)
+                elif blk == "f_object":
+                    stage = "0" if idx in ("0", "1") else "1"
+                    if idx in ("0", "3"):
+                        put(base + ["f_object", f"conv{stage}"], leaf, t)
+                    else:
+                        _emit_bn(params, stats,
+                                 base + ["f_object", f"bn{stage}"], leaf, t)
+                elif blk == "f_down":
+                    if idx == "0":
+                        put(base + ["f_down", "conv0"], leaf, t)
+                    else:
+                        _emit_bn(params, stats, base + ["f_down", "bn0"],
+                                 leaf, t)
+                elif blk == "f_up":
+                    if idx == "0":
+                        put(base + ["f_up_conv"], leaf, t)
+                    else:
+                        _emit_bn(params, stats, base + ["f_up_bn"], leaf, t)
+        # spatial_context_head has no params
+    return {"params": params, "batch_stats": stats}
+
+
 def import_td4_encoders(state_dict) -> dict:
     """Replicate a deep-stem ResNet checkpoint into TDNet's four path
     encoders (the reference loads the same pretrained weights into

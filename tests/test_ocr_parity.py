@@ -112,6 +112,72 @@ def _graft(variables, oracle):
     return {"params": p, "batch_stats": s}
 
 
+def _reference_named_state_dict(oracle):
+    """Re-key the oracle's tensors with the reference SpatialOCRNet names
+    (models/ocrnet.py:31-54, spatial_ocr_block.py:203-246, 350-367)."""
+    sd = {}
+
+    def seq(prefix, mods):
+        for i, m in mods:
+            if isinstance(m, nn.Conv2d):
+                sd[f"{prefix}.{i}.weight"] = m.weight
+                if m.bias is not None:
+                    sd[f"{prefix}.{i}.bias"] = m.bias
+            elif isinstance(m, nn.BatchNorm2d):
+                sd[f"{prefix}.{i}.weight"] = m.weight
+                sd[f"{prefix}.{i}.bias"] = m.bias
+                sd[f"{prefix}.{i}.running_mean"] = m.running_mean
+                sd[f"{prefix}.{i}.running_var"] = m.running_var
+
+    seq("conv_3x3", [(0, oracle.conv_3x3[0]), (1, oracle.conv_3x3[1])])
+    seq("dsn_head", [(0, oracle.dsn[0]), (1, oracle.dsn[1]),
+                     (4, oracle.dsn[4])])
+    ob = "spatial_ocr_head.object_context_block"
+    seq(f"{ob}.f_pixel", [(0, oracle.f_pixel[0]), (1, oracle.f_pixel[1]),
+                          (3, oracle.f_pixel[3]), (4, oracle.f_pixel[4])])
+    seq(f"{ob}.f_object", [(0, oracle.f_object[0]), (1, oracle.f_object[1]),
+                           (3, oracle.f_object[3]), (4, oracle.f_object[4])])
+    seq(f"{ob}.f_down", [(0, oracle.f_down[0]), (1, oracle.f_down[1])])
+    seq(f"{ob}.f_up", [(0, oracle.f_up[0]), (1, oracle.f_up[1])])
+    seq("spatial_ocr_head.conv_bn_dropout",
+        [(0, oracle.fuse[0]), (1, oracle.fuse[1])])
+    sd["head.weight"] = oracle.head.weight
+    sd["head.bias"] = oracle.head.bias
+    return sd
+
+
+def test_ocr_decoder_checkpoint_import():
+    """The importer must reproduce the manual graft (and the torch oracle)."""
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_ocr_decoder_state_dict, merge_variables)
+
+    torch.manual_seed(2)
+    oracle = TorchOCR().eval()
+    for m in oracle.modules():
+        if isinstance(m, nn.BatchNorm2d):
+            m.running_mean.normal_(0, 0.3)
+            m.running_var.uniform_(0.6, 1.4)
+
+    rng = np.random.default_rng(2)
+    c4 = rng.standard_normal((1, 8, 9, C4), np.float32)
+    c5 = rng.standard_normal((1, 8, 9, C5), np.float32)
+    with torch.no_grad():
+        ref, _ = oracle(torch.from_numpy(c4.transpose(0, 3, 1, 2)),
+                        torch.from_numpy(c5.transpose(0, 3, 1, 2)))
+
+    dec = SpatialOCRNet(num_class=NUM_CLASS)
+    conv_out = [jnp.zeros((1, 16, 18, 8)), jnp.zeros((1, 8, 9, 16)),
+                jnp.asarray(c4), jnp.asarray(c5)]
+    variables = dec.init({"params": KEY, "dropout": KEY}, conv_out, train=False)
+    imported = import_ocr_decoder_state_dict(
+        _reference_named_state_dict(oracle))
+    variables = merge_variables(dict(variables), imported)
+    (ours,) = dec.apply(variables, conv_out, train=False)
+    np.testing.assert_allclose(np.asarray(ours),
+                               ref.numpy().transpose(0, 2, 3, 1),
+                               rtol=1e-3, atol=1e-4)
+
+
 def test_ocr_decoder_matches_torch_oracle():
     torch.manual_seed(0)
     oracle = TorchOCR().eval()
