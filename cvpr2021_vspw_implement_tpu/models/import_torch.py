@@ -491,6 +491,64 @@ def import_ocr_decoder_state_dict(state_dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_deeplab_decoder_state_dict(state_dict) -> dict:
+    """torch DeepLab decoder state_dict (reference layout —
+    models/deeplab.py:36-137: aspp.aspp{1-4}.{atrous_conv,bn},
+    aspp.global_avg_pool.{1,2}, aspp.{conv1,bn1}, decoder.{conv1,bn1},
+    decoder.last_conv.{0,1,4,5}, decoder.lastlast_conv.1) → flax variables
+    for models.deeplab.DeepLab."""
+    params: dict = {}
+    stats: dict = {}
+
+    def put(flax, leaf, t):
+        _set(params, flax + ["conv", "kernel" if leaf == "weight" else "bias"],
+             _conv_kernel(t) if leaf == "weight" else t)
+
+    for name, tensor in state_dict.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        name = name.removeprefix("module.")
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        head = parts[0]
+        if head == "aspp":
+            sub = parts[1]
+            if sub.startswith("aspp"):  # aspp1..aspp4 branches
+                if parts[2] == "atrous_conv":
+                    put(["aspp", sub, "conv"], leaf, t)
+                else:  # bn
+                    _emit_bn(params, stats, ["aspp", sub, "bn"], leaf, t)
+            elif sub == "global_avg_pool":
+                # Sequential(AdaptiveAvgPool2d, Conv2d, BN, ReLU): 1=conv, 2=bn
+                if parts[2] == "1":
+                    put(["aspp", "gp_conv"], leaf, t)
+                else:
+                    _emit_bn(params, stats, ["aspp", "gp_bn"], leaf, t)
+            elif sub == "conv1":
+                put(["aspp", "conv1"], leaf, t)
+            elif sub == "bn1":
+                _emit_bn(params, stats, ["aspp", "bn1"], leaf, t)
+        elif head == "decoder":
+            sub = parts[1]
+            if sub == "conv1":
+                put(["low_conv"], leaf, t)
+            elif sub == "bn1":
+                _emit_bn(params, stats, ["low_bn"], leaf, t)
+            elif sub == "last_conv":
+                # Sequential(conv,bn,relu,drop,conv,bn,relu): 0/1 → _0, 4/5 → _1
+                idx = parts[2]
+                stage = "0" if idx in ("0", "1") else "1"
+                if idx in ("0", "4"):
+                    put([f"last_conv_{stage}"], leaf, t)
+                else:
+                    _emit_bn(params, stats, [f"last_bn_{stage}"], leaf, t)
+            elif sub == "lastlast_conv":  # Sequential(drop, conv): 1 = classifier
+                put(["classifier"], leaf, t)
+    return {"params": params, "batch_stats": stats}
+
+
 def import_td4_encoders(state_dict) -> dict:
     """Replicate a deep-stem ResNet checkpoint into TDNet's four path
     encoders (the reference loads the same pretrained weights into

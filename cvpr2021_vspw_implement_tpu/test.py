@@ -88,12 +88,15 @@ def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
             logger.info(f"imported torch encoder {args.torch_enc}")
         if getattr(args, "torch_dec", ""):
             import torch as _torch
-            from .models.import_torch import (import_ocr_decoder_state_dict,
+            from .models.import_torch import (import_deeplab_decoder_state_dict,
+                                              import_ocr_decoder_state_dict,
                                               import_ppm_decoder_state_dict,
                                               merge_variables)
             sd = _torch.load(args.torch_dec, map_location="cpu")
             if "ocr" in cfg.MODEL.arch_decoder:
                 imported = import_ocr_decoder_state_dict(sd)
+            elif "deeplab" in cfg.MODEL.arch_decoder:
+                imported = import_deeplab_decoder_state_dict(sd)
             else:
                 imported = import_ppm_decoder_state_dict(
                     sd, deepsup="deepsup" in cfg.MODEL.arch_decoder)
