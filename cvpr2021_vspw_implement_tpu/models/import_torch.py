@@ -549,6 +549,122 @@ def import_deeplab_decoder_state_dict(state_dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _split_fused(state_dict, prefixes):
+    """Bucket a fused-model state_dict by top-level module prefix."""
+    buckets = {p: {} for p in prefixes}
+    rest = {}
+    for name, tensor in state_dict.items():
+        name = name.removeprefix("module.")
+        for p in prefixes:
+            if name.startswith(p + "."):
+                buckets[p][name[len(p) + 1:]] = tensor
+                break
+        else:
+            rest[name] = tensor
+    return buckets, rest
+
+
+def import_netwarp_state_dict(state_dict, ocr: bool = False) -> dict:
+    """Fused NetWarp / NetWarp_ocr checkpoint (reference: models/netwarp.py:
+    67-107 / netwarp_ocr.py:121-163 — raft.*, encoder.*, decoder.*
+    (PPMDeepsup_clip or SpatialOCRNetasDec), flowcnn.conv{1-4}.{0,1},
+    conv_last_.{0,1,4} / head, w0_0/w0_1/w1_0/w1_1) → flax variables for
+    models.netwarp.NetWarp."""
+    buckets, rest = _split_fused(state_dict,
+                                 ("raft", "encoder", "decoder", "flowcnn"))
+    sub = {
+        "raft": import_raft_state_dict(buckets["raft"]),
+        "encoder": import_resnet_state_dict(buckets["encoder"]),
+        "decoder": (import_ocr_decoder_state_dict(buckets["decoder"]) if ocr
+                    else import_ppm_decoder_state_dict(buckets["decoder"])),
+    }
+    params = {k: v["params"] for k, v in sub.items()}
+    stats = {k: v["batch_stats"] for k, v in sub.items()}
+
+    for name, tensor in buckets["flowcnn"].items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        parts = name.split(".")  # conv{n}.{0|1}.<leaf>
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[1] == "0":
+            _set(params, ["flowcnn", parts[0], "0", "conv",
+                          "kernel" if leaf == "weight" else "bias"],
+                 _conv_kernel(t) if leaf == "weight" else t)
+        else:
+            _emit_bn(params, stats, ["flowcnn", parts[0], "1"], leaf, t)
+
+    for name, tensor in rest.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] in ("w0_0", "w0_1", "w1_0", "w1_1"):
+            _set(params, [parts[0]], t)
+        elif parts[0] == "head":  # netwarp_ocr classifier
+            _set(params, ["head", "conv",
+                          "kernel" if leaf == "weight" else "bias"],
+                 _conv_kernel(t) if leaf == "weight" else t)
+        elif parts[0] == "conv_last_":
+            sub_i = parts[1]
+            if sub_i == "0":
+                _set(params, ["conv_last_0", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            elif sub_i == "1":
+                _emit_bn(params, stats, ["conv_last_1"], leaf, t)
+            elif sub_i == "4":
+                _set(params, ["conv_last_cls", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+        # mean/std buffers carry no params
+    return {"params": params, "batch_stats": stats}
+
+
+def import_etc_state_dict(state_dict, ocr: bool = False) -> dict:
+    """Fused ETC / ETC_ocr checkpoint (reference: models/ETC.py:51-80 /
+    ETC_ocr.py:93-115 — raft.*, encoder.*, decoder.*, conv_last_.{0,1,4}
+    or single conv_last_ for the OCR variant) → flax variables for
+    models.etc.ETC."""
+    buckets, rest = _split_fused(state_dict, ("raft", "encoder", "decoder"))
+    sub = {
+        "raft": import_raft_state_dict(buckets["raft"]),
+        "encoder": import_resnet_state_dict(buckets["encoder"]),
+        "decoder": (import_ocr_decoder_state_dict(buckets["decoder"]) if ocr
+                    else import_ppm_decoder_state_dict(buckets["decoder"])),
+    }
+    params = {k: v["params"] for k, v in sub.items()}
+    stats = {k: v["batch_stats"] for k, v in sub.items()}
+
+    for name, tensor in rest.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked" or parts[0] != "conv_last_":
+            continue
+        if ocr:  # single 1x1 conv classifier (ETC_ocr.py:114)
+            _set(params, ["conv_last_cls", "conv",
+                          "kernel" if leaf == "weight" else "bias"],
+                 _conv_kernel(t) if leaf == "weight" else t)
+        else:
+            sub_i = parts[1]
+            if sub_i == "0":
+                _set(params, ["conv_last_0", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+            elif sub_i == "1":
+                _emit_bn(params, stats, ["conv_last_1"], leaf, t)
+            elif sub_i == "4":
+                _set(params, ["conv_last_cls", "conv",
+                              "kernel" if leaf == "weight" else "bias"],
+                     _conv_kernel(t) if leaf == "weight" else t)
+    return {"params": params, "batch_stats": stats}
+
+
 def import_td4_encoders(state_dict) -> dict:
     """Replicate a deep-stem ResNet checkpoint into TDNet's four path
     encoders (the reference loads the same pretrained weights into

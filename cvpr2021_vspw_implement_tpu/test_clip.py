@@ -150,12 +150,21 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             # fused reference clip checkpoint (train_clip2.py:179-189)
             import torch as _torch
             from .models.import_torch import (import_clip_psp_state_dict,
+                                              import_etc_state_dict,
+                                              import_netwarp_state_dict,
                                               merge_variables)
-            assert args.method == "clip_psp", \
-                "--torch_load currently supports clip_psp fused checkpoints"
+            importers = {
+                "clip_psp": import_clip_psp_state_dict,
+                "netwarp": import_netwarp_state_dict,
+                "netwarp_ocr": lambda sd: import_netwarp_state_dict(sd, ocr=True),
+                "ETC": import_etc_state_dict,
+                "etc_ocr": lambda sd: import_etc_state_dict(sd, ocr=True),
+            }
+            assert args.method in importers, \
+                f"--torch_load supports {sorted(importers)} fused checkpoints"
             sd = _torch.load(args.torch_load, map_location="cpu")
             variables = merge_variables(dict(variables),
-                                        import_clip_psp_state_dict(sd))
+                                        importers[args.method](sd))
             logger.info(f"imported fused torch checkpoint {args.torch_load}")
 
     if use_memory:
