@@ -665,6 +665,88 @@ def import_etc_state_dict(state_dict, ocr: bool = False) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def _emit_conv(params, flax_path, leaf, t):
+    _set(params, flax_path + ["conv", "kernel" if leaf == "weight" else "bias"],
+         _conv_kernel(t) if leaf == "weight" else t)
+
+
+def import_clip_warp_state_dict(state_dict) -> dict:
+    """Fused our_warp (ClipWarpNet) checkpoint (reference: models.py:116-129
+    + warp_our.py:85-100 — encoder.*, decoder.*, prop_clip.{emb,emb_2}.{0,1},
+    prop_clip.w{i}, prop_clip.last_layer.1, last_layer.1) → flax variables
+    for models.warp_our.ClipWarpNet."""
+    buckets, rest = _split_fused(state_dict, ("encoder", "decoder"))
+    sub = {
+        "encoder": import_resnet_state_dict(buckets["encoder"]),
+        "decoder": import_ppm_decoder_state_dict(buckets["decoder"]),
+    }
+    params = {k: v["params"] for k, v in sub.items()}
+    stats = {k: v["batch_stats"] for k, v in sub.items()}
+
+    for name, tensor in rest.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] == "prop_clip":
+            sub_n = parts[1]
+            if sub_n in ("emb", "emb_2"):
+                if parts[2] == "0":
+                    _emit_conv(params, ["prop_clip", sub_n, "0"], leaf, t)
+                else:
+                    _emit_bn(params, stats, ["prop_clip", sub_n, "1"], leaf, t)
+            elif sub_n == "last_layer":  # Sequential(drop, conv): idx 1
+                _emit_conv(params, ["prop_clip", "last_conv"], leaf, t)
+            elif sub_n.startswith("w"):  # linear-combine blend params w{i}
+                _set(params, ["prop_clip", sub_n], t)
+        elif parts[0] == "last_layer":  # all-frame supervision head
+            _emit_conv(params, ["last_layer"], leaf, t)
+    return {"params": params, "batch_stats": stats}
+
+
+def import_propnet_state_dict(state_dict) -> dict:
+    """Fused PropNet checkpoint (reference: propnet.py:105-138 — encoder.*,
+    decoder.*, segblock.conv{1-4}.{conv1,bn1,conv2,bn2} + segblock.last_layer,
+    emb.{0,1}, emb2.{0,1}, last_layer.1) → flax variables for
+    models.propnet.PropNet."""
+    buckets, rest = _split_fused(state_dict, ("encoder", "decoder"))
+    sub = {
+        "encoder": import_resnet_state_dict(buckets["encoder"]),
+        "decoder": import_ppm_decoder_state_dict(buckets["decoder"]),
+    }
+    params = {k: v["params"] for k, v in sub.items()}
+    stats = {k: v["batch_stats"] for k, v in sub.items()}
+
+    for name, tensor in rest.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] == "segblock":
+            sub_n = parts[1]
+            if sub_n == "last_layer":
+                _emit_conv(params, ["segblock", "last_layer"], leaf, t)
+            else:  # conv{1-4}: _split_separable_conv2d members
+                member = parts[2]
+                if member in ("conv1", "conv2"):
+                    _emit_conv(params, ["segblock", sub_n, member], leaf, t)
+                else:
+                    _emit_bn(params, stats, ["segblock", sub_n, member],
+                             leaf, t)
+        elif parts[0] in ("emb", "emb2"):
+            if parts[1] == "0":
+                _emit_conv(params, [parts[0], "0"], leaf, t)
+            else:
+                _emit_bn(params, stats, [parts[0], "1"], leaf, t)
+        elif parts[0] == "last_layer":
+            _emit_conv(params, ["last_layer"], leaf, t)
+    return {"params": params, "batch_stats": stats}
+
+
 def import_td4_encoders(state_dict) -> dict:
     """Replicate a deep-stem ResNet checkpoint into TDNet's four path
     encoders (the reference loads the same pretrained weights into

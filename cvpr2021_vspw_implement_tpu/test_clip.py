@@ -150,8 +150,10 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             # fused reference clip checkpoint (train_clip2.py:179-189)
             import torch as _torch
             from .models.import_torch import (import_clip_psp_state_dict,
+                                              import_clip_warp_state_dict,
                                               import_etc_state_dict,
                                               import_netwarp_state_dict,
+                                              import_propnet_state_dict,
                                               merge_variables)
             importers = {
                 "clip_psp": import_clip_psp_state_dict,
@@ -159,6 +161,8 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
                 "netwarp_ocr": lambda sd: import_netwarp_state_dict(sd, ocr=True),
                 "ETC": import_etc_state_dict,
                 "etc_ocr": lambda sd: import_etc_state_dict(sd, ocr=True),
+                "our_warp": import_clip_warp_state_dict,
+                "propnet": import_propnet_state_dict,
             }
             assert args.method in importers, \
                 f"--torch_load supports {sorted(importers)} fused checkpoints"

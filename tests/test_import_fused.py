@@ -140,6 +140,93 @@ def test_netwarp_fused_import_structurally_complete():
     _assert_exact_cover(variables, imported)
 
 
+def test_clip_warp_fused_import_structurally_complete():
+    import argparse
+
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_clip_warp_state_dict)
+    from cvpr2021_vspw_implement_tpu.models.warp_our import ClipWarpNet
+
+    torch.manual_seed(2)
+    sd = {}
+    for k, v in _ref_resnet18_sd().items():
+        sd[f"encoder.{k}"] = v
+    for k, v in _ppm_clip_decoder_sd().items():
+        sd[f"decoder.{k}"] = v
+    # WarpNet(args, fc_dim=128): emb 512->256, emb_2 512->128 (models.py:125)
+    sd["prop_clip.emb.0.weight"] = torch.randn(256, 512, 3, 3)
+    _bn(sd, "prop_clip.emb.1", 256)
+    sd["prop_clip.emb_2.0.weight"] = torch.randn(128, 512, 3, 3)
+    _bn(sd, "prop_clip.emb_2.1", 128)
+    sd["prop_clip.last_layer.1.weight"] = torch.randn(K, 256, 1, 1)
+    sd["prop_clip.last_layer.1.bias"] = torch.randn(K)
+    for i in range(3):
+        sd[f"prop_clip.w{i}"] = torch.ones(256)
+    sd["last_layer.1.weight"] = torch.randn(K, 128, 1, 1)
+    sd["last_layer.1.bias"] = torch.randn(K)
+
+    imported = import_clip_warp_state_dict(sd)
+
+    args = argparse.Namespace(fix=False, max_distances=[2],
+                              linear_combine=True, distsoftmax=False,
+                              distnearest=False, temp=3.0)
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    model = ClipWarpNet(encoder=enc, num_class=K, fc_dim=FC, args=args)
+    key = jax.random.PRNGKey(0)
+    variables = jax.eval_shape(
+        lambda: model.init({"params": key, "dropout": key},
+                           jnp.zeros((3, 1, 32, 32, 3)), train=True))
+    _assert_exact_cover(variables, imported)
+
+
+def test_propnet_fused_import_structurally_complete():
+    import argparse
+
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_propnet_state_dict)
+    from cvpr2021_vspw_implement_tpu.models.propnet import PropNet
+
+    torch.manual_seed(3)
+    emb_dim = 256
+    sd = {}
+    for k, v in _ref_resnet18_sd().items():
+        sd[f"encoder.{k}"] = v
+    for k, v in _ppm_clip_decoder_sd().items():
+        sd[f"decoder.{k}"] = v
+    for nm in ("emb", "emb2"):
+        sd[f"{nm}.0.weight"] = torch.randn(emb_dim, 512, 3, 3)
+        _bn(sd, f"{nm}.1", emb_dim)
+    sd["last_layer.1.weight"] = torch.randn(K, emb_dim, 1, 1)
+    sd["last_layer.1.bias"] = torch.randn(K)
+    # SegBlock(emb_dim + num_class -> emb_dim), 4 split-separable convs
+    cin = emb_dim + K
+    for i in range(1, 5):
+        sd[f"segblock.conv{i}.conv1.weight"] = torch.randn(cin, 1, 7, 7)
+        sd[f"segblock.conv{i}.conv1.bias"] = torch.randn(cin)
+        _bn(sd, f"segblock.conv{i}.bn1", cin)
+        sd[f"segblock.conv{i}.conv2.weight"] = torch.randn(emb_dim, cin, 1, 1)
+        sd[f"segblock.conv{i}.conv2.bias"] = torch.randn(emb_dim)
+        _bn(sd, f"segblock.conv{i}.bn2", emb_dim)
+        cin = emb_dim
+    sd["segblock.last_layer.weight"] = torch.randn(K, emb_dim, 1, 1)
+    sd["segblock.last_layer.bias"] = torch.randn(K)
+
+    imported = import_propnet_state_dict(sd)
+
+    args = argparse.Namespace(fix=False, max_distances=[2],
+                              linear_combine=False, distsoftmax=False,
+                              distnearest=False, temp=3.0)
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    model = PropNet(encoder=enc, num_class=K, fc_dim=FC, args=args)
+    key = jax.random.PRNGKey(0)
+    variables = jax.eval_shape(
+        lambda: model.init({"params": key, "dropout": key},
+                           jnp.zeros((3, 1, 32, 32, 3)), train=True))
+    _assert_exact_cover(variables, imported)
+
+
 def test_etc_fused_import_structurally_complete():
     from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
     from cvpr2021_vspw_implement_tpu.models.etc import ETC
