@@ -53,8 +53,8 @@ class ClipOCRNet(nn.Module):
     dtype: Any = None
 
     def setup(self):
-        self.dsn_conv = Conv(512, 3, padding=1, use_bias=False,
-                             dtype=self.dtype)
+        # biased conv, matching clip_ocr.py:58 (inline Sequential, bias=True)
+        self.dsn_conv = Conv(512, 3, padding=1, dtype=self.dtype)
         self.dsn_bn = BatchNorm2d(512, dtype=self.dtype,
                                   bias_init=_bn_bias_init)
         self.dsn_drop = Dropout2d(0.05)

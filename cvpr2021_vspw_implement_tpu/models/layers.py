@@ -119,13 +119,15 @@ class ConvBNReLU(nn.Module):
     stride: int = 1
     padding: int = 1
     dilation: int = 1
+    use_bias: bool = False  # the OCR heads' inline conv+BN stacks use bias=True
     dtype: Dtype | None = None
     bn_bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         x = Conv(self.features, self.kernel_size, self.stride, self.padding,
-                 self.dilation, use_bias=False, dtype=self.dtype, name="0")(x)
+                 self.dilation, use_bias=self.use_bias, dtype=self.dtype,
+                 name="0")(x)
         x = BatchNorm2d(self.features, dtype=self.dtype,
                         bias_init=self.bn_bias_init, name="1")(x, train=train)
         return nn.relu(x)

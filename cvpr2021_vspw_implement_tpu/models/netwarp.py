@@ -71,7 +71,8 @@ class SpatialOCRAsDec(nn.Module):
 
     @nn.compact
     def __call__(self, conv_out, train: bool = False):
-        d = ConvBNReLU(512, dtype=self.dtype, bn_bias_init=_bn_bias_init,
+        d = ConvBNReLU(512, use_bias=True, dtype=self.dtype,
+                       bn_bias_init=_bn_bias_init,
                        name="dsn_head_cbr")(conv_out[-2], train)
         d = Dropout2d(0.05, name="dsn_drop")(d, train)
         x_dsn = Conv(self.num_class, 1, dtype=self.dtype, name="dsn_cls")(d)

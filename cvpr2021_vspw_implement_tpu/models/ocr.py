@@ -150,8 +150,10 @@ class SpatialOCRNet(nn.Module):
     @nn.compact
     def __call__(self, conv_out, train: bool = False):
         c4, c5 = conv_out[-2], conv_out[-1]
-        # DSN aux head — also the gather's probability source
-        d = ConvBNReLU(512, dtype=self.dtype, bn_bias_init=_bn_bias_init,
+        # DSN aux head — also the gather's probability source; the reference's
+        # inline Sequential uses a biased conv (ocrnet.py:48-49)
+        d = ConvBNReLU(512, use_bias=True, dtype=self.dtype,
+                       bn_bias_init=_bn_bias_init,
                        name="dsn_head_cbr")(c4, train)
         d = Dropout2d(0.05, name="dsn_drop")(d, train)
         x_dsn = Conv(self.num_class, 1, dtype=self.dtype, name="dsn_cls")(d)

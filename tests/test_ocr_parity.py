@@ -24,7 +24,7 @@ class TorchOCR(nn.Module):
         super().__init__()
         self.conv_3x3 = nn.Sequential(nn.Conv2d(C5, 512, 3, padding=1),
                                       nn.BatchNorm2d(512), nn.ReLU())
-        self.dsn = nn.Sequential(nn.Conv2d(C4, 512, 3, padding=1, bias=False),
+        self.dsn = nn.Sequential(nn.Conv2d(C4, 512, 3, padding=1),
                                  nn.BatchNorm2d(512), nn.ReLU(),
                                  nn.Dropout2d(0.05),
                                  nn.Conv2d(512, NUM_CLASS, 1))
@@ -87,7 +87,7 @@ def _graft(variables, oracle):
 
     conv(p["conv_3x3_conv"], oracle.conv_3x3[0])
     bn(p["conv_3x3_bn"], s["conv_3x3_bn"], oracle.conv_3x3[1])
-    conv(p["dsn_head_cbr"]["0"], oracle.dsn[0], bias=False)
+    conv(p["dsn_head_cbr"]["0"], oracle.dsn[0])
     bn(p["dsn_head_cbr"]["1"], s["dsn_head_cbr"]["1"], oracle.dsn[1])
     conv(p["dsn_cls"], oracle.dsn[4])
 
