@@ -747,6 +747,114 @@ def import_propnet_state_dict(state_dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_clip_ocr_state_dict(state_dict) -> dict:
+    """Fused Clip_OCR checkpoint (reference: clip_ocr.py:25-63 — encoder.*,
+    conv_3x3.{0,1}, dsn_head.{0,1,4}, spatial_ocr_head.*, head) → flax
+    variables for models.clip_ocr.ClipOCRNet.
+
+    The non-encoder keys share the SpatialOCRNet layout, so they route
+    through import_ocr_decoder_state_dict; ClipOCRNet flattens the dsn
+    Sequential into dsn_conv/dsn_bn, hence the rename."""
+    buckets, rest = _split_fused(state_dict, ("encoder",))
+    enc = import_resnet_state_dict(buckets["encoder"])
+    dec = import_ocr_decoder_state_dict(rest)
+    params, stats = dec["params"], dec["batch_stats"]
+    cbr = params.pop("dsn_head_cbr", {})
+    if "0" in cbr:
+        params["dsn_conv"] = cbr["0"]
+    if "1" in cbr:
+        params["dsn_bn"] = cbr["1"]
+    cbr_s = stats.pop("dsn_head_cbr", {})
+    if "1" in cbr_s:
+        stats["dsn_bn"] = cbr_s["1"]
+    params["encoder"] = enc["params"]
+    stats["encoder"] = enc["batch_stats"]
+    return {"params": params, "batch_stats": stats}
+
+
+def import_nonlocal3d_state_dict(state_dict) -> dict:
+    """Fused Non_local3d checkpoint (reference: non_local_models.py:9-17 —
+    encoder.*, emb, nonlocalblock.{g,theta,phi,W_z.{0,1}}, last_layer) →
+    flax variables for models.nonlocal3d.NonLocal3D.
+
+    The reference's 1x1 Conv3d projections are Dense layers on our side:
+    torch (out, in, 1, 1, 1) kernels → (in, out) matrices."""
+    buckets, rest = _split_fused(state_dict, ("encoder", "nonlocalblock"))
+    enc = import_resnet_state_dict(buckets["encoder"])
+    params = {"encoder": enc["params"]}
+    stats = {"encoder": enc["batch_stats"]}
+
+    def dense_kernel(w):
+        return w.reshape(w.shape[0], w.shape[1]).T
+
+    for name, tensor in buckets["nonlocalblock"].items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] in ("g", "theta", "phi"):
+            _set(params, ["nonlocalblock", parts[0],
+                          "kernel" if leaf == "weight" else "bias"],
+                 dense_kernel(t) if leaf == "weight" else t)
+        elif parts[0] == "W_z":
+            if parts[1] == "0":  # Sequential(conv, bn) when bn_layer
+                _set(params, ["nonlocalblock", "W_z",
+                              "kernel" if leaf == "weight" else "bias"],
+                     dense_kernel(t) if leaf == "weight" else t)
+            else:
+                _emit_bn(params, stats, ["nonlocalblock", "W_z_bn"], leaf, t)
+
+    for name, tensor in rest.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if parts[0] in ("emb", "last_layer"):
+            _emit_conv(params, [parts[0]], leaf, t)
+    return {"params": params, "batch_stats": stats}
+
+
+def import_warp_merge_state_dict(state_dict) -> dict:
+    """Fused OurWarpMerge checkpoint (reference: warp_our_merge.py:53-66,
+    178-192 — encoder.*, decoder.* (PPM_clip), prop_clip.{emb,emb2}.{0,1},
+    prop_clip.last_layer.1, prop_clip.last_layer2.1, last_layer.1) → flax
+    variables for models.warp_our_merge.OurWarpMerge.
+
+    PPM_clip constructs-but-never-uses cbr_deepsup (models.py:1062); those
+    keys are dropped."""
+    buckets, rest = _split_fused(state_dict, ("encoder", "decoder"))
+    dec_sd = {k: v for k, v in buckets["decoder"].items()
+              if not k.startswith("cbr_deepsup")}
+    sub = {
+        "encoder": import_resnet_state_dict(buckets["encoder"]),
+        "decoder": import_ppm_decoder_state_dict(dec_sd),
+    }
+    params = {k: v["params"] for k, v in sub.items()}
+    stats = {k: v["batch_stats"] for k, v in sub.items()}
+
+    for name, tensor in rest.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] == "prop_clip":
+            sub_n = parts[1]
+            if sub_n in ("emb", "emb2"):
+                if parts[2] == "0":
+                    _emit_conv(params, ["prop_clip", sub_n, "0"], leaf, t)
+                else:
+                    _emit_bn(params, stats, ["prop_clip", sub_n, "1"], leaf, t)
+            elif sub_n in ("last_layer", "last_layer2"):
+                _emit_conv(params, ["prop_clip", sub_n], leaf, t)
+        elif parts[0] == "last_layer":
+            _emit_conv(params, ["last_layer"], leaf, t)
+    return {"params": params, "batch_stats": stats}
+
+
 def import_td4_encoders(state_dict) -> dict:
     """Replicate a deep-stem ResNet checkpoint into TDNet's four path
     encoders (the reference loads the same pretrained weights into

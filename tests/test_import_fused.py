@@ -227,6 +227,132 @@ def test_propnet_fused_import_structurally_complete():
     _assert_exact_cover(variables, imported)
 
 
+def test_clip_ocr_fused_import_structurally_complete():
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.clip_ocr import ClipOCRNet
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_clip_ocr_state_dict)
+
+    torch.manual_seed(4)
+    kc = 256
+    sd = {}
+    for k, v in _ref_resnet18_sd().items():
+        sd[f"encoder.{k}"] = v
+    sd["conv_3x3.0.weight"] = torch.randn(512, FC, 3, 3)
+    sd["conv_3x3.0.bias"] = torch.randn(512)
+    _bn(sd, "conv_3x3.1", 512)
+    sd["dsn_head.0.weight"] = torch.randn(512, FC // 2, 3, 3)
+    sd["dsn_head.0.bias"] = torch.randn(512)
+    _bn(sd, "dsn_head.1", 512)
+    sd["dsn_head.4.weight"] = torch.randn(K, 512, 1, 1)
+    sd["dsn_head.4.bias"] = torch.randn(K)
+    ob = "spatial_ocr_head.object_context_block"
+    for blk in ("f_pixel", "f_object"):
+        for i, cin in ((0, 512), (3, kc)):
+            sd[f"{ob}.{blk}.{i}.weight"] = torch.randn(kc, cin, 1, 1)
+            sd[f"{ob}.{blk}.{i}.bias"] = torch.randn(kc)
+            _bn(sd, f"{ob}.{blk}.{i + 1}", kc)
+    sd[f"{ob}.f_down.0.weight"] = torch.randn(kc, 512, 1, 1)
+    sd[f"{ob}.f_down.0.bias"] = torch.randn(kc)
+    _bn(sd, f"{ob}.f_down.1", kc)
+    sd[f"{ob}.f_up.0.weight"] = torch.randn(512, kc, 1, 1)
+    sd[f"{ob}.f_up.0.bias"] = torch.randn(512)
+    _bn(sd, f"{ob}.f_up.1", 512)
+    sd["spatial_ocr_head.conv_bn_dropout.0.weight"] = torch.randn(512, 1024, 1, 1)
+    sd["spatial_ocr_head.conv_bn_dropout.0.bias"] = torch.randn(512)
+    _bn(sd, "spatial_ocr_head.conv_bn_dropout.1", 512)
+    sd["head.weight"] = torch.randn(K, 512, 1, 1)
+    sd["head.bias"] = torch.randn(K)
+
+    imported = import_clip_ocr_state_dict(sd)
+
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    model = ClipOCRNet(encoder=enc, num_class=K)
+    key = jax.random.PRNGKey(0)
+    variables = jax.eval_shape(
+        lambda: model.init({"params": key, "dropout": key},
+                           jnp.zeros((3, 1, 32, 32, 3)), train=True))
+    _assert_exact_cover(variables, imported)
+
+
+def test_nonlocal3d_fused_import_structurally_complete():
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_nonlocal3d_state_dict)
+    from cvpr2021_vspw_implement_tpu.models.nonlocal3d import NonLocal3D
+
+    torch.manual_seed(5)
+    inter = 128
+    sd = {}
+    for k, v in _ref_resnet18_sd().items():
+        sd[f"encoder.{k}"] = v
+    sd["emb.weight"] = torch.randn(256, FC, 1, 1)
+    sd["emb.bias"] = torch.randn(256)
+    for nm in ("g", "theta", "phi"):  # Conv3d 1x1x1 projections
+        sd[f"nonlocalblock.{nm}.weight"] = torch.randn(inter, 256, 1, 1, 1)
+        sd[f"nonlocalblock.{nm}.bias"] = torch.randn(inter)
+    sd["nonlocalblock.W_z.0.weight"] = torch.randn(256, inter, 1, 1, 1)
+    sd["nonlocalblock.W_z.0.bias"] = torch.randn(256)
+    _bn(sd, "nonlocalblock.W_z.1", 256)
+    sd["last_layer.weight"] = torch.randn(K, 512, 1, 1)
+    sd["last_layer.bias"] = torch.randn(K)
+
+    imported = import_nonlocal3d_state_dict(sd)
+
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    model = NonLocal3D(encoder=enc, num_class=K, fc_dim=FC)
+    key = jax.random.PRNGKey(0)
+    variables = jax.eval_shape(
+        lambda: model.init({"params": key, "dropout": key},
+                           jnp.zeros((3, 1, 32, 32, 3)), train=True))
+    _assert_exact_cover(variables, imported)
+
+
+def test_warp_merge_fused_import_structurally_complete():
+    import argparse
+
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_warp_merge_state_dict)
+    from cvpr2021_vspw_implement_tpu.models.warp_our_merge import OurWarpMerge
+
+    torch.manual_seed(6)
+    emb_dim = 256
+    sd = {}
+    for k, v in _ref_resnet18_sd().items():
+        sd[f"encoder.{k}"] = v
+    # PPM_clip decoder: like PPMDeepsup_clip but the deepsup heads are
+    # absent from the forward; cbr_deepsup is created-but-unused → included
+    # here to prove the importer drops it (models.py:1062)
+    for k, v in _ppm_clip_decoder_sd().items():
+        if not k.startswith("conv_last_deepsup_"):
+            sd[f"decoder.{k}"] = v
+    sd["prop_clip.emb.0.weight"] = torch.randn(emb_dim, 512, 3, 3)
+    _bn(sd, "prop_clip.emb.1", emb_dim)
+    # emb2 consumes conv4: 1024-ch on the reference's resnet101; 256 here
+    sd["prop_clip.emb2.0.weight"] = torch.randn(emb_dim, FC // 2, 3, 3)
+    _bn(sd, "prop_clip.emb2.1", emb_dim)
+    sd["prop_clip.last_layer.1.weight"] = torch.randn(K, emb_dim, 1, 1)
+    sd["prop_clip.last_layer.1.bias"] = torch.randn(K)
+    sd["prop_clip.last_layer2.1.weight"] = torch.randn(K, emb_dim * 2, 1, 1)
+    sd["prop_clip.last_layer2.1.bias"] = torch.randn(K)
+    sd["last_layer.1.weight"] = torch.randn(K, emb_dim, 1, 1)
+    sd["last_layer.1.bias"] = torch.randn(K)
+
+    imported = import_warp_merge_state_dict(sd)
+
+    args = argparse.Namespace(fix=False, max_distances=[2],
+                              linear_combine=False, distsoftmax=False,
+                              distnearest=False, temp=3.0)
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    model = OurWarpMerge(encoder=enc, num_class=K, fc_dim=FC, args=args)
+    key = jax.random.PRNGKey(0)
+    variables = jax.eval_shape(
+        lambda: model.init({"params": key, "dropout": key},
+                           jnp.zeros((3, 1, 32, 32, 3)), train=True))
+    _assert_exact_cover(variables, imported)
+
+
 def test_etc_fused_import_structurally_complete():
     from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
     from cvpr2021_vspw_implement_tpu.models.etc import ETC
