@@ -148,6 +148,8 @@ class NetWarp(nn.Module):
         netwarp.py:196-217)."""
         conv_out = self.encoder(img, train=train)
         feats, _ = self._decode_feats(conv_out, train)
+        if self.ocr:
+            return conv_out[-1], feats, conv_out[-2]
         return conv_out[-1], feats
 
     def fuse_pair(self, target_img, prev_img, c5_t, c5_p, feats_p,

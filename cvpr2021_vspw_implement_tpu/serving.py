@@ -112,19 +112,22 @@ class ClipPSPStreamer(_WindowStreamer):
 
 
 class NetWarpStreamer:
-    """NetWarp eval with per-frame feature caching (plain decoder,
-    dilation_num == 0, clip_num == 2 — the reference's only NetWarp
-    config).  Each frame's encoder + decoder features are computed ONCE;
+    """NetWarp / NetWarp-OCR eval with per-frame feature caching
+    (dilation_num == 0, clip_num == 2 — the reference's only NetWarp
+    config).  Each frame's encoder + decoder features are computed ONCE
+    (for OCR, c4 is cached too for the dsn head's target re-decode);
     per pair only RAFT + FlowCNN + blends + the target-side decode run —
     predictions identical to the window path, ~1.8x less compute."""
 
     def __init__(self, model, variables, num_frames: int, seg_size):
-        assert not model.ocr, "feature caching needs the plain decoder"
         self.n = num_frames
         self.seg_size = tuple(seg_size)
+        self.ocr = bool(model.ocr)
 
         @jax.jit
         def encode(img):
+            # plain: (c5, feats); OCR: (c5, feats, c4) — the dsn head needs
+            # the target's c4 at re-decode time (netwarp_ocr.py:171-186)
             return model.apply(variables, img, train=False,
                                method=model.encode_frame)
 
@@ -135,8 +138,17 @@ class NetWarpStreamer:
                                   method=model.fuse_pair)
             return inference_pred((pred,), self.seg_size)
 
+        @jax.jit
+        def fuse_ocr(target_img, prev_img, c5_t, c5_p, feats_p, c4_t):
+            pred, _ = model.apply(variables, target_img, prev_img, c5_t,
+                                  c5_p, feats_p,
+                                  conv_out_t_rest=(c4_t, c4_t, c4_t),
+                                  train=False, method=model.fuse_pair)
+            return inference_pred((pred,), self.seg_size)
+
         self._encode = encode
         self._fuse = fuse
+        self._fuse_ocr = fuse_ocr
 
     def context_index(self, i: int) -> int:
         """TestDataset_clip window for clip_num=2 (dataset2.py:276-300):
@@ -155,11 +167,18 @@ class NetWarpStreamer:
 
         for i in range(self.n):
             j = self.context_index(i)
-            c5_t, _feats_t = get(i)
-            c5_p, feats_p = get(j)
-            pred = self._fuse(jnp.asarray(frames[i][None]),
-                              jnp.asarray(frames[j][None]),
-                              c5_t, c5_p, feats_p)
+            if self.ocr:
+                c5_t, _feats_t, c4_t = get(i)
+                c5_p, feats_p, _ = get(j)
+                pred = self._fuse_ocr(jnp.asarray(frames[i][None]),
+                                      jnp.asarray(frames[j][None]),
+                                      c5_t, c5_p, feats_p, c4_t)
+            else:
+                c5_t, _feats_t = get(i)
+                c5_p, feats_p = get(j)
+                pred = self._fuse(jnp.asarray(frames[i][None]),
+                                  jnp.asarray(frames[j][None]),
+                                  c5_t, c5_p, feats_p)
             yield i, np.asarray(pred)[0]
             # future pairs only reference frames >= i
             for k in [k for k in cache if k < i]:

@@ -215,7 +215,8 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
         elif (args.method == "clip_ocr" and not use_memory
               and not getattr(args, "clipocr_all", False)):
             from .serving import ClipOCRStreamer as stream_cls
-        elif args.method == "netwarp" and args.dilation_num == 0:
+        elif (args.method in ("netwarp", "netwarp_ocr")
+              and args.dilation_num == 0):
             from .data import TestFrameDataset
             from .serving import NetWarpStreamer
             for video in videos:

@@ -85,7 +85,8 @@ def test_streaming_matches_window_psp_weight(vspw_root, tmp_path):
     assert m_stream["VC"] == pytest.approx(m_window["VC"], abs=1e-6)
 
 
-def test_streaming_matches_window_netwarp(vspw_root, tmp_path):
+@pytest.mark.parametrize("method", ["netwarp", "netwarp_ocr"])
+def test_streaming_matches_window_netwarp(vspw_root, tmp_path, method):
     import jax
     import jax.numpy as jnp
     from cvpr2021_vspw_implement_tpu.methods import build_method
@@ -98,12 +99,12 @@ def test_streaming_matches_window_netwarp(vspw_root, tmp_path):
     cfg.TPU.remat = False
 
     def nw_args(streaming):
-        a = _args(vspw_root, streaming, method="netwarp")
+        a = _args(vspw_root, streaming, method=method)
         a.clip_num = 2
         a.dilation_num = 0
         return a
 
-    model, _ = build_method("netwarp", cfg, nw_args(True))
+    model, _ = build_method(method, cfg, nw_args(True))
     # tiny RAFT for the CPU test
     model = model.clone(raft_iters=2)
     key = jax.random.PRNGKey(3)
@@ -113,18 +114,18 @@ def test_streaming_matches_window_netwarp(vspw_root, tmp_path):
                  "batch_stats": variables["batch_stats"]}
 
     import cvpr2021_vspw_implement_tpu.methods as methods_mod
-    orig = methods_mod._build_netwarp
+    orig = methods_mod.METHODS[method]
 
-    def patched(cfg_, args_, dtype=None, ocr=False):
-        m, l = orig(cfg_, args_, dtype, ocr=ocr)
+    def patched(cfg_, args_, dtype=None, **kw):
+        m, l = orig(cfg_, args_, dtype, **kw)
         return m.clone(raft_iters=2), l
 
-    methods_mod.METHODS["netwarp"] = patched
+    methods_mod.METHODS[method] = patched
     try:
         m_stream, _ = evaluate_clip(cfg, nw_args(True), variables=variables)
         m_window, _ = evaluate_clip(cfg, nw_args(False), variables=variables)
     finally:
-        methods_mod.METHODS["netwarp"] = orig
+        methods_mod.METHODS[method] = orig
     assert m_stream["mIoU"] == pytest.approx(m_window["mIoU"], abs=1e-6)
     assert m_stream["VC"] == pytest.approx(m_window["VC"], abs=1e-6)
 
