@@ -349,6 +349,85 @@ def import_ppm_decoder_state_dict(state_dict, deepsup: bool = True) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_c1_state_dict(state_dict, deepsup: bool = False) -> dict:
+    """torch C1 / C1DeepSup decoder state_dict (reference layout —
+    models.py:826-886: cbr.{0,1}, conv_last_1 / conv_last_ (bare Conv2d),
+    cbr_deepsup.{0,1}, conv_last_deepsup_) → flax variables for
+    models.decoders.C1 / C1DeepSup."""
+    params: dict = {}
+    stats: dict = {}
+    for name, tensor in state_dict.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        name = name.removeprefix("module.")
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        head = parts[0]
+        if head in ("cbr", "cbr_deepsup"):
+            if parts[1] == "0":
+                _emit_conv(params, [head, "0"], leaf, t)
+            else:
+                _emit_bn(params, stats, [head, "1"], leaf, t)
+        elif head in ("conv_last_1", "conv_last_", "conv_last_deepsup_"):
+            _emit_conv(params, [head], leaf, t)
+    return {"params": params, "batch_stats": stats}
+
+
+def import_upernet_decoder_state_dict(state_dict) -> dict:
+    """torch UPerNet decoder state_dict (reference layout —
+    models.py:1085-1128: ppm_conv.{i}.{0,1}, ppm_last_conv.{0,1},
+    fpn_in.{i}.{0,1}, fpn_out.{i}.0.{0,1}, conv_last_.0.{0,1},
+    conv_last_.1) → flax variables for models.decoders.UPerNet.
+
+    ModuleList indices map straight across: fpn_in.{i} pairs with
+    conv_out[i] on both sides."""
+    params: dict = {}
+    stats: dict = {}
+    for name, tensor in state_dict.items():
+        t = np.asarray(tensor.detach().cpu().numpy() if hasattr(tensor, "detach")
+                       else tensor)
+        name = name.removeprefix("module.")
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        head = parts[0]
+        if head == "ppm_conv":
+            i, sub = parts[1], parts[2]
+            if sub == "0":
+                _emit_conv(params, [f"ppm_conv_{i}_conv"], leaf, t)
+            else:
+                _emit_bn(params, stats, [f"ppm_conv_{i}_bn"], leaf, t)
+        elif head == "ppm_last_conv":
+            if parts[1] == "0":
+                _emit_conv(params, ["ppm_last_conv", "0"], leaf, t)
+            else:
+                _emit_bn(params, stats, ["ppm_last_conv", "1"], leaf, t)
+        elif head == "fpn_in":
+            i, sub = parts[1], parts[2]
+            if sub == "0":
+                _emit_conv(params, [f"fpn_in_{i}_conv"], leaf, t)
+            else:
+                _emit_bn(params, stats, [f"fpn_in_{i}_bn"], leaf, t)
+        elif head == "fpn_out":
+            i, sub = parts[1], parts[3]  # fpn_out.{i}.0.{0|1}.<leaf>
+            if sub == "0":
+                _emit_conv(params, [f"fpn_out_{i}", "0"], leaf, t)
+            else:
+                _emit_bn(params, stats, [f"fpn_out_{i}", "1"], leaf, t)
+        elif head == "conv_last_":
+            if parts[1] == "0":  # cbr
+                if parts[2] == "0":
+                    _emit_conv(params, ["conv_last_0", "0"], leaf, t)
+                else:
+                    _emit_bn(params, stats, ["conv_last_0", "1"], leaf, t)
+            else:                # final 1x1 classifier
+                _emit_conv(params, ["conv_last_1"], leaf, t)
+    return {"params": params, "batch_stats": stats}
+
+
 def import_clip_psp_state_dict(state_dict) -> dict:
     """Fused Clip_PSP checkpoint (the clip trainer saves one model —
     reference: train_clip2.py:179-189; layout: encoder.*, ppm_conv.ppm.{i}.0/1,

@@ -88,18 +88,26 @@ def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
             logger.info(f"imported torch encoder {args.torch_enc}")
         if getattr(args, "torch_dec", ""):
             import torch as _torch
-            from .models.import_torch import (import_deeplab_decoder_state_dict,
+            from .models.import_torch import (import_c1_state_dict,
+                                              import_deeplab_decoder_state_dict,
                                               import_ocr_decoder_state_dict,
                                               import_ppm_decoder_state_dict,
+                                              import_upernet_decoder_state_dict,
                                               merge_variables)
             sd = _torch.load(args.torch_dec, map_location="cpu")
-            if "ocr" in cfg.MODEL.arch_decoder:
+            arch_dec = cfg.MODEL.arch_decoder
+            if "ocr" in arch_dec:
                 imported = import_ocr_decoder_state_dict(sd)
-            elif "deeplab" in cfg.MODEL.arch_decoder:
+            elif "deeplab" in arch_dec:
                 imported = import_deeplab_decoder_state_dict(sd)
+            elif "upernet" in arch_dec:
+                imported = import_upernet_decoder_state_dict(sd)
+            elif arch_dec.startswith("c1"):
+                imported = import_c1_state_dict(
+                    sd, deepsup="deepsup" in arch_dec)
             else:
                 imported = import_ppm_decoder_state_dict(
-                    sd, deepsup="deepsup" in cfg.MODEL.arch_decoder)
+                    sd, deepsup="deepsup" in arch_dec)
             variables = merge_variables(
                 dict(variables),
                 {c: {"decoder": v} for c, v in imported.items()})
