@@ -945,6 +945,30 @@ def import_td4_encoders(state_dict) -> dict:
     }
 
 
+def _netwarp_ocr(sd):
+    return import_netwarp_state_dict(sd, ocr=True)
+
+
+def _etc_ocr(sd):
+    return import_etc_state_dict(sd, ocr=True)
+
+
+#: --method name → fused-checkpoint importer (the reference's clip trainer
+#: saves one nn.Module per method — train_clip2.py:404-489)
+FUSED_IMPORTERS = {
+    "clip_psp": import_clip_psp_state_dict,
+    "clip_ocr": import_clip_ocr_state_dict,
+    "netwarp": import_netwarp_state_dict,
+    "netwarp_ocr": _netwarp_ocr,
+    "ETC": import_etc_state_dict,
+    "etc_ocr": _etc_ocr,
+    "our_warp": import_clip_warp_state_dict,
+    "our_warp_merge": import_warp_merge_state_dict,
+    "propnet": import_propnet_state_dict,
+    "nonlocal3d": import_nonlocal3d_state_dict,
+}
+
+
 def load_raft_checkpoint(path: str) -> dict:
     """Load raft-things.pth (torch) → flax variables for models.raft.RAFT."""
     import torch

@@ -149,32 +149,14 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
         if getattr(args, "torch_load", ""):
             # fused reference clip checkpoint (train_clip2.py:179-189)
             import torch as _torch
-            from .models.import_torch import (import_clip_ocr_state_dict,
-                                              import_clip_psp_state_dict,
-                                              import_clip_warp_state_dict,
-                                              import_etc_state_dict,
-                                              import_netwarp_state_dict,
-                                              import_nonlocal3d_state_dict,
-                                              import_propnet_state_dict,
-                                              import_warp_merge_state_dict,
+            from .models.import_torch import (FUSED_IMPORTERS,
                                               merge_variables)
-            importers = {
-                "clip_psp": import_clip_psp_state_dict,
-                "clip_ocr": import_clip_ocr_state_dict,
-                "netwarp": import_netwarp_state_dict,
-                "netwarp_ocr": lambda sd: import_netwarp_state_dict(sd, ocr=True),
-                "ETC": import_etc_state_dict,
-                "etc_ocr": lambda sd: import_etc_state_dict(sd, ocr=True),
-                "our_warp": import_clip_warp_state_dict,
-                "our_warp_merge": import_warp_merge_state_dict,
-                "propnet": import_propnet_state_dict,
-                "nonlocal3d": import_nonlocal3d_state_dict,
-            }
-            assert args.method in importers, \
-                f"--torch_load supports {sorted(importers)} fused checkpoints"
+            assert args.method in FUSED_IMPORTERS, (
+                f"--torch_load supports {sorted(FUSED_IMPORTERS)} "
+                "fused checkpoints")
             sd = _torch.load(args.torch_load, map_location="cpu")
-            variables = merge_variables(dict(variables),
-                                        importers[args.method](sd))
+            variables = merge_variables(
+                dict(variables), FUSED_IMPORTERS[args.method](sd))
             logger.info(f"imported fused torch checkpoint {args.torch_load}")
 
     if use_memory:
