@@ -1,35 +1,67 @@
-"""Benchmark: flagship TCB-PSP (ResNet-101 dilated) streaming inference.
+"""Benchmark: flagship TCB-PSP (ResNet-101 dilated) — inference AND training.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...extras}.
 
-Measures target-frames/sec/chip of the streaming eval path (serving.py):
-per video frame, ONE encoder pass + pooled-stat blend + PPM fuse + argmax at
-VSPW-480p eval resolution (480x853), bf16 compute.  Predictions are
-bit-identical to the reference's window formulation (test_clip2.py re-encodes
-the whole 4-frame window per frame — see tests/test_streaming.py for the
-equivalence proof); the streaming formulation is the TPU-native serving
-design the pooled-context blending enables.
+Three measurements, all on the same chip, all with DISTINCT input frames so
+XLA cannot hoist the encoder out of any loop (each scan step consumes its
+own frame from a stacked [N,...] buffer):
+
+1. ``value`` — streaming-inference target-frames/sec/chip (serving design:
+   ONE encoder pass per video frame + pooled-stat blend + PPM fuse + argmax
+   at VSPW-480p eval resolution 480x853, bf16).  Predictions are
+   bit-identical to the reference window formulation (equivalence proof:
+   tests/test_streaming.py).
+2. ``baseline_frames_per_sec`` — the REFERENCE eval-loop formulation
+   (test_clip2.py:28-89 re-encodes the whole (clip_num=3)+1-frame window for
+   every eval frame), same model / same resolution / same bf16 / same chip.
+   ``vs_baseline`` = (1)/(2): a *measured* apples-to-apples ratio that
+   isolates the algorithmic win; no estimated GPU numbers in the headline.
+   (For cross-hardware context only: the reference repo publishes no
+   numbers — see BASELINE.md.)
+3. ``train_step_ms`` — full jitted training step (fwd+bwd+SGD+BN stats) at
+   the reference temporal recipe's per-GPU shape (scripts/run_temporal_psp.sh:
+   batch 8 over 4 GPUs -> 2/chip, dilation2 "3,6,9" -> 3 context + 1 target
+   frames, crop 479).
+
+MFU fields use XLA's own compiled-HLO flop count divided by wall time and
+the chip's bf16 peak; ``value`` is sanity-bounded by construction (mfu<=1).
 
 Timing notes: under this image's axon TPU tunnel ``block_until_ready`` does
-not synchronize, so every timed step forces a scalar readback.
-
-``vs_baseline``: the reference publishes no numbers (see BASELINE.md); the
-denominator is a documented estimate of the PyTorch reference eval loop for
-this config on a V100-class GPU (~15 target-frames/sec fp32: ~1.5 TFLOP per
-4-frame window at 480p OS-8).  North star: ≥2x reference frames/sec/chip.
+not synchronize, so every timed call forces a scalar readback.
 """
 
 import json
 import time
 
-REF_FRAMES_PER_SEC_ESTIMATE = 15.0
+
+def _peak_flops(device) -> float:
+    kind = getattr(device, "device_kind", "").lower()
+    if "v5 lite" in kind or "v5e" in kind:
+        return 197e12  # bf16
+    if "v4" in kind:
+        return 275e12
+    if "v5p" in kind or "v5" in kind:
+        return 459e12
+    if "v6" in kind:
+        return 918e12
+    return 197e12
+
+
+def _flops_of(compiled) -> float | None:
+    try:
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        return float(ca["flops"])
+    except Exception:
+        return None
 
 
 def main():
     import jax
 
     # persistent compile cache: the axon tunnel's remote compile of the
-    # R101 graph takes minutes; later runs load the cached executable
+    # R101 graphs takes minutes; later runs load the cached executables
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
@@ -37,8 +69,16 @@ def main():
     import numpy as np
 
     from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
-    from cvpr2021_vspw_implement_tpu.models.clip_psp import ClipPSP
+    from cvpr2021_vspw_implement_tpu.models.clip_psp import (
+        ClipPSP, clip_psp_loss)
     from cvpr2021_vspw_implement_tpu.models.segmentation import inference_pred
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+
+    dev = jax.devices()[0]
+    peak = _peak_flops(dev)
 
     enc = ModelBuilder.build_encoder("resnet101dilated", dtype=jnp.bfloat16)
     model = ClipPSP(encoder=enc, num_class=124, fc_dim=2048,
@@ -46,24 +86,24 @@ def main():
 
     h, w = 480, 853
     rng = np.random.default_rng(0)
-    frame = jnp.asarray(rng.standard_normal((1, h, w, 3), dtype=np.float32))
     # init on the host CPU backend: dispatching hundreds of tiny param-init
     # ops through the TPU tunnel costs minutes; the params transfer once
     with jax.default_device(jax.devices("cpu")[0]):
         variables = model.init({"params": jax.random.PRNGKey(0)},
                                jnp.zeros((4, 1, 64, 64, 3), jnp.float32),
                                train=False)
-    variables = jax.device_put(variables, jax.devices()[0])
+    variables = jax.device_put(variables, dev)
 
-    N = 16  # frames per timed call; scanned device-side so the tunnel's
-            # round-trip latency is paid once per call, not per frame
+    # ---------------- 1. streaming inference, N DISTINCT frames ------------
+    N = 16
+    frames = jnp.asarray(
+        rng.standard_normal((N, 1, h, w, 3)).astype(np.float32))
 
     def one_frame(blended_prev, img):
         """Per-frame streaming work: encode + blend + fuse + argmax.
 
         blended_prev stands in for the cached context stats (their blend is
-        a trivial mean of ≤6x6xC arrays, included here).  Feeding pooled
-        stats forward chains the frames so they execute sequentially."""
+        a trivial mean of <=6x6xC arrays, included here)."""
         c5, pooled = model.apply(variables, img, train=False,
                                  method=model.encode_frame)
         blended = [jnp.mean(jnp.stack([p, q]), 0)
@@ -74,28 +114,119 @@ def main():
         return pooled, jnp.sum(pred[0, ::97, ::97].astype(jnp.int32))
 
     @jax.jit
-    def run_n(img, blended0):
-        carry, sums = jax.lax.scan(
-            lambda c, _: one_frame(c, img), blended0, None, length=N)
+    def run_stream(frames, blended0):
+        carry, sums = jax.lax.scan(one_frame, blended0, frames)
         return carry, jnp.sum(sums)
 
     pooled0 = [jnp.zeros((1, s, s, 2048), jnp.bfloat16) for s in (1, 2, 3, 6)]
-    pooled, s = run_n(frame, pooled0)
-    float(s)  # compile + first execution
+    stream_c = jax.jit(run_stream).lower(frames, pooled0).compile()
+    # flop count: XLA's cost analysis counts a scan body ONCE, so count a
+    # standalone per-frame step and multiply by N
+    per_frame_flops = _flops_of(
+        jax.jit(one_frame).lower(pooled0, frames[0]).compile())
+    stream_flops = per_frame_flops * N if per_frame_flops else None
+    pooled, s = stream_c(frames, pooled0)
+    float(s)  # first execution
 
-    best = 0.0
+    stream_fps, stream_dt = 0.0, float("inf")
     for _trial in range(3):
         start = time.perf_counter()
-        pooled, s = run_n(frame, pooled)
+        pooled, s = stream_c(frames, pooled0)
         float(s)
         dt = time.perf_counter() - start
-        best = max(best, N / dt)
+        if dt < stream_dt:
+            stream_fps, stream_dt = N / dt, dt
 
+    stream_mfu = (stream_flops / stream_dt / peak
+                  if stream_flops else None)
+
+    # ------------- 2. reference window formulation, same chip --------------
+    # test_clip2.py re-encodes clip_num+1 = 4 frames per eval frame; scan
+    # over M distinct windows (each its own 4 frames) so nothing hoists.
+    M = 4
+    windows = jnp.asarray(
+        rng.standard_normal((M, 4, 1, h, w, 3)).astype(np.float32))
+
+    def one_window(_, win):
+        outs = model.apply(variables, win, train=False)
+        pred = inference_pred(outs, (h, w))
+        return 0, jnp.sum(pred[0, ::97, ::97].astype(jnp.int32))
+
+    @jax.jit
+    def run_window(windows):
+        _, sums = jax.lax.scan(one_window, 0, windows)
+        return jnp.sum(sums)
+
+    window_c = jax.jit(run_window).lower(windows).compile()
+    per_window_flops = _flops_of(
+        jax.jit(one_window).lower(0, windows[0]).compile())
+    window_flops = per_window_flops * M if per_window_flops else None
+    float(window_c(windows))
+
+    base_fps, base_dt = 0.0, float("inf")
+    for _trial in range(3):
+        start = time.perf_counter()
+        s = window_c(windows)
+        float(s)
+        dt = time.perf_counter() - start
+        if dt < base_dt:
+            base_fps, base_dt = M / dt, dt
+    base_mfu = (window_flops / base_dt / peak if window_flops else None)
+
+    # ---------------- 3. training step, reference per-chip shape -----------
+    tb, bb, crop = 4, 2, 479
+    imgs = jnp.asarray(
+        rng.standard_normal((tb, bb, crop, crop, 3)).astype(np.float32))
+    labels = jnp.asarray(rng.integers(0, 124, (tb, bb, crop, crop)),
+                         jnp.int32)
+    batch = {"img": imgs, "labels": labels}
+    with jax.default_device(jax.devices("cpu")[0]):
+        tvars = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           jnp.zeros((4, 1, 64, 64, 3), jnp.float32),
+                           train=True)
+    tvars = jax.device_put(tvars, dev)
+    tx = create_clip_optimizer(tvars["params"], lr=0.002, max_iters=100)
+    state = TrainState.create(tvars, tx)
+    step_fn = make_train_step(model, tx, loss_fn=clip_psp_loss, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    new_state, metrics = step_fn(state, batch, key)
+    float(metrics["loss"])  # compile + first execution
+    train_dt = float("inf")
+    for _trial in range(3):
+        start = time.perf_counter()
+        new_state, metrics = step_fn(state, batch, key)
+        float(metrics["loss"])
+        train_dt = min(train_dt, time.perf_counter() - start)
+    # flop count for the jitted step via a fresh lowering (cached)
+    train_flops = None
+    try:
+        lowered = jax.jit(
+            lambda s, b, k: step_fn(s, b, k)).lower(state, batch, key)
+        train_flops = _flops_of(lowered.compile())
+    except Exception:
+        pass
+    train_mfu = (train_flops / train_dt / peak if train_flops else None)
+
+    rnd = lambda x, n=4: (round(x, n) if isinstance(x, float) else x)
     print(json.dumps({
         "metric": "tcb_psp_r101_480p_streaming_inference",
-        "value": round(best, 3),
+        "value": round(stream_fps, 3),
         "unit": "frames/sec/chip",
-        "vs_baseline": round(best / REF_FRAMES_PER_SEC_ESTIMATE, 3),
+        "vs_baseline": round(stream_fps / base_fps, 3) if base_fps else None,
+        "mfu": rnd(stream_mfu),
+        "tflops_per_sec": rnd(stream_flops / stream_dt / 1e12
+                              if stream_flops else None, 2),
+        "baseline_frames_per_sec": round(base_fps, 3),
+        "baseline_mfu": rnd(base_mfu),
+        "baseline_def": "reference window formulation (test_clip2.py:28-89),"
+                        " same model/chip/dtype, measured",
+        "train_step_ms": round(train_dt * 1e3, 2),
+        "train_mfu": rnd(train_mfu),
+        "train_shape": "T+1=4 x B=2 x 479x479 (run_temporal_psp.sh/chip)",
+        "device": getattr(dev, "device_kind", str(dev)),
+        "peak_tflops_bf16": peak / 1e12,
     }))
 
 

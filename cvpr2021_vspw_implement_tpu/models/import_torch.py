@@ -945,6 +945,80 @@ def import_td4_encoders(state_dict) -> dict:
     }
 
 
+def import_td4_state_dict(state_dict) -> dict:
+    """Fused td4_psp checkpoint (reference layout: pretrained{1-4}.* deep-stem
+    resnet18 paths, psp{1-4}.conv{1-4}.{0,1}, enc{1-4}.w_{q,k}s.{0,1}.conv/bn
+    + w_vs.0.conv, atn{a}_{b}.fc.0.conv, layer_norm{1-4}.ln,
+    head{1-4}/auxlayer{1-4}.conv5.{0,1,4} — models/td4_psp/td4_psp.py:107-183)
+    → flax variables for models.td4_psp.TD4PSP."""
+    import re
+
+    params: dict = {}
+    stats: dict = {}
+    enc_sds: dict = {i: {} for i in range(4)}
+
+    def put_conv(flax, leaf, t, dense=False):
+        if leaf == "weight":
+            _set(params, flax + ["kernel"],
+                 t[:, :, 0, 0].T if dense else _conv_kernel(t))
+        else:
+            _set(params, flax + ["bias"], t)
+
+    for name, tensor in state_dict.items():
+        name = name.removeprefix("module.")
+        m = re.match(r"pretrained(\d)\.(.*)", name)
+        if m:
+            enc_sds[int(m.group(1)) - 1][m.group(2)] = tensor
+            continue
+        t = np.asarray(tensor.detach().cpu().numpy()
+                       if hasattr(tensor, "detach") else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if (m := re.match(r"psp(\d)", parts[0])):
+            i = int(m.group(1)) - 1
+            j = parts[1]  # conv1..conv4
+            if parts[2] == "0":
+                put_conv([f"psps_{i}", f"{j}_conv", "conv"], leaf, t)
+            else:
+                _emit_bn(params, stats, [f"psps_{i}", f"{j}_bn"], leaf, t)
+        elif (m := re.match(r"enc(\d)", parts[0])):
+            i = int(m.group(1)) - 1
+            proj = parts[1]  # w_qs | w_ks | w_vs
+            flax_name = "w_vs" if proj == "w_vs" else f"{proj}_{parts[2]}"
+            if parts[3] == "conv":
+                put_conv([f"encs_{i}", flax_name, "conv", "conv"], leaf, t)
+            else:  # bn (only on the first ConvBNReLU of w_qs/w_ks)
+                _emit_bn(params, stats, [f"encs_{i}", flax_name, "bn"],
+                         leaf, t)
+        elif (m := re.match(r"atn(\d)_(\d)", parts[0])):
+            a, b = int(m.group(1)) - 1, int(m.group(2)) - 1
+            # fc.0.conv: 1x1 conv applied per token == Dense
+            put_conv([f"atns_{a}_{b}", "fc"], leaf, t, dense=True)
+        elif (m := re.match(r"layer_norm(\d)", parts[0])):
+            i = int(m.group(1)) - 1
+            _set(params, [f"lns_{i}", "scale" if leaf == "weight" else "bias"],
+                 t)
+        elif (m := re.match(r"(head|auxlayer)(\d)", parts[0])):
+            kind = "heads" if m.group(1) == "head" else "auxs"
+            i = int(m.group(2)) - 1
+            sub = parts[2]  # conv5.{0,1,4}
+            if sub == "0":
+                put_conv([f"{kind}_{i}", "conv", "conv"], leaf, t)
+            elif sub == "1":
+                _emit_bn(params, stats, [f"{kind}_{i}", "bn"], leaf, t)
+            elif sub == "4":
+                put_conv([f"{kind}_{i}", "cls", "conv"], leaf, t)
+        # loss_fn etc. carry no params
+
+    for i in range(4):
+        enc = import_resnet_state_dict(enc_sds[i])
+        params[f"paths_{i}"] = enc["params"]
+        stats[f"paths_{i}"] = enc["batch_stats"]
+    return {"params": params, "batch_stats": stats}
+
+
 def _netwarp_ocr(sd):
     return import_netwarp_state_dict(sd, ocr=True)
 
@@ -966,6 +1040,7 @@ FUSED_IMPORTERS = {
     "our_warp_merge": import_warp_merge_state_dict,
     "propnet": import_propnet_state_dict,
     "nonlocal3d": import_nonlocal3d_state_dict,
+    "tdnet": import_td4_state_dict,
 }
 
 
@@ -989,6 +1064,11 @@ def merge_variables(init_vars: dict, imported: dict) -> dict:
         for k, v in over.items():
             if k in out and isinstance(out[k], dict) and isinstance(v, dict):
                 out[k] = overlay(out[k], v)
+            elif isinstance(v, dict):
+                # subtree absent from the init tree (e.g. train-only deepsup
+                # params when the model was lazily init'd in eval mode) —
+                # keep it whole; flax ignores unused extra entries
+                out[k] = jax.tree_util.tree_map(jax.numpy.asarray, v)
             else:
                 out[k] = jax.numpy.asarray(v)
         return out

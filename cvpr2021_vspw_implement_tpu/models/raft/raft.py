@@ -96,9 +96,19 @@ class RAFT(nn.Module):
 
         mask0 = jnp.zeros((b, h8, w8, 64 * 9), jnp.float32)
 
+        # fused gather-free Pallas lookup on TPU (ops/pallas/corr.py — the
+        # alt_cuda_corr equivalent); XLA take_along_axis path elsewhere
+        import os as _os
+        if (jax.default_backend() not in ("cpu",)
+                and _os.environ.get("VSPW_TPU_PALLAS", "1") == "1"):
+            from ...ops.pallas.corr import lookup_corr_pyramid_fused
+            lookup = lookup_corr_pyramid_fused
+        else:
+            lookup = lookup_corr_pyramid
+
         def one_iter(net, coords1):
             coords1 = jax.lax.stop_gradient(coords1)
-            corr = lookup_corr_pyramid(pyramid, coords1, self.corr_radius)
+            corr = lookup(pyramid, coords1, self.corr_radius)
             flow = coords1 - coords0
             net, up_mask, delta = update(net, inp, corr.astype(net.dtype),
                                          flow)

@@ -1,0 +1,143 @@
+"""Pallas TPU kernel: RAFT windowed correlation-pyramid lookup.
+
+The TPU-native equivalent of the reference's only custom native kernel
+(RAFT/alt_cuda_corr/correlation_kernel.cu:1-323, consumed at
+RAFT_core/corr.py:28-60): for every query pixel p, bilinearly sample a
+(2r+1)^2 window around its current correspondence from each pyramid level.
+
+Kernel design (one grid cell per (batch, query-pixel tile)):
+  * gathers are eliminated entirely.  Bilinear sampling at y is a 2-tap
+    one-hot row vector over H built from an iota comparison; since the
+    window offsets are integers, all (2r+1) vertical taps share the same
+    fractional weight ``ly`` and differ only in the integer base row.  The
+    level plane [TILE_P, H, W] lives in VMEM; the y-contraction is a
+    mask-multiply-reduce on the VPU, the x-contraction likewise — dense
+    vector math instead of the XLA path's [B, P, 4*(2r+1)^2] flat gathers;
+  * zero padding needs no special-casing: an out-of-range tap row/col never
+    matches the iota, so its one-hot weight row is all-zero (the reference
+    zeros OOB taps via the sampler's padding_mode, utils.py:58-73);
+  * channel order matches the reference quirk exactly (outer tap = x,
+    inner tap = y — see models/raft/corr.py:_lookup_level).
+
+``lookup_corr_pyramid_fused`` == models.raft.corr.lookup_corr_pyramid
+(verified in tests/test_pallas_corr.py: interpret mode on CPU, compiled on
+TPU).  The backward pass reuses the XLA path's VJP via jax.custom_vjp — the
+lookup is inside RAFT's 20-iteration GRU loop, so the frozen-flow methods
+(NetWarp/ETC/TC) never differentiate it, and RAFT re-training gets exact
+gradients from the reference formulation.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+TILE_P = 128
+
+
+def _corr_lookup_kernel(coords_ref, corr_ref, o_ref, *, r: int, h: int,
+                        w: int):
+    k = 2 * r + 1
+    corr = corr_ref[0].astype(jnp.float32)          # [TP, H, W]
+    cx = coords_ref[0, 0].astype(jnp.float32)       # [TP]
+    cy = coords_ref[0, 1].astype(jnp.float32)       # [TP]
+
+    x0f = jnp.floor(cx)
+    y0f = jnp.floor(cy)
+    lx = cx - x0f                                   # shared by all x taps
+    ly = cy - y0f                                   # shared by all y taps
+    x0 = x0f.astype(jnp.int32)
+    y0 = y0f.astype(jnp.int32)
+
+    iota_h = jax.lax.broadcasted_iota(jnp.int32, (TILE_P, h), 1)
+    iota_w = jax.lax.broadcasted_iota(jnp.int32, (TILE_P, w), 1)
+
+    def one_hot2(iota, base, lam):
+        """2-tap bilinear one-hot row: (1-lam) at base, lam at base+1;
+        out-of-range taps simply never match → zero weight (zero pad)."""
+        b_ = base[:, None]
+        return ((iota == b_) * (1.0 - lam)[:, None]
+                + (iota == b_ + 1) * lam[:, None])
+
+    # x one-hots are reused across every y tap
+    wxs = [one_hot2(iota_w, x0 + (tx - r), lx) for tx in range(k)]
+
+    cols = []                                       # cols[tx][ty] : [TP]
+    for ty in range(k):
+        wy = one_hot2(iota_h, y0 + (ty - r), ly)    # [TP, H]
+        tmp = jnp.sum(wy[:, :, None] * corr, axis=1)  # [TP, W]
+        cols.append([jnp.sum(tmp * wxs[tx], axis=1) for tx in range(k)])
+    # channel (tx, ty): outer tap = x, inner tap = y (reference quirk)
+    out = jnp.stack([jnp.stack([cols[ty][tx] for ty in range(k)], axis=-1)
+                     for tx in range(k)], axis=-2)  # [TP, k(x), k(y)]
+    o_ref[0] = out.reshape(TILE_P, k * k).astype(o_ref.dtype)
+
+
+@functools.partial(jax.jit, static_argnames=("r", "interpret"))
+def _lookup_level_pallas(corr: jnp.ndarray, coords: jnp.ndarray, r: int,
+                         interpret: bool = False) -> jnp.ndarray:
+    """corr [B, P, Hl, Wl]; coords [B, P, 2] (x, y) in level pixel units
+    → [B, P, (2r+1)^2]."""
+    b, p, h, w = corr.shape
+    k = 2 * r + 1
+    p_pad = pl.cdiv(p, TILE_P) * TILE_P
+    if p_pad != p:
+        corr = jnp.pad(corr, ((0, 0), (0, p_pad - p), (0, 0), (0, 0)))
+        coords = jnp.pad(coords, ((0, 0), (0, p_pad - p), (0, 0)))
+    coords_t = jnp.transpose(coords, (0, 2, 1))     # [B, 2, P_pad]
+
+    out = pl.pallas_call(
+        functools.partial(_corr_lookup_kernel, r=r, h=h, w=w),
+        grid=(b, p_pad // TILE_P),
+        in_specs=[
+            pl.BlockSpec((1, 2, TILE_P), lambda bi, pi: (bi, 0, pi),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, TILE_P, h, w), lambda bi, pi: (bi, pi, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, TILE_P, k * k),
+                               lambda bi, pi: (bi, pi, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((b, p_pad, k * k), jnp.float32),
+        interpret=interpret,
+    )(coords_t, corr)
+    return out[:, :p]
+
+
+def _lookup_fused_fwd(pyramid, coords, radius, interpret):
+    return lookup_corr_pyramid_fused(pyramid, coords, radius, interpret), \
+        (pyramid, coords)
+
+
+def _lookup_fused_bwd(radius, interpret, res, g):
+    # exact gradients via the XLA reference formulation's VJP (the fused
+    # kernel is numerically identical to it); deferred import avoids a
+    # module cycle with models.raft.corr
+    from ...models.raft.corr import lookup_corr_pyramid
+    pyramid, coords = res
+    _, vjp = jax.vjp(
+        lambda pyr, c: lookup_corr_pyramid(pyr, c, radius),
+        pyramid, coords)
+    d_pyr, d_coords = vjp(g)
+    return d_pyr, d_coords
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def lookup_corr_pyramid_fused(pyramid, coords, radius: int = 4,
+                              interpret: bool = False):
+    """Drop-in replacement for models.raft.corr.lookup_corr_pyramid.
+
+    pyramid: list of [B, P, Hl, Wl]; coords [B, H1, W1, 2] (x, y) at level
+    0 → [B, H1, W1, L*(2r+1)^2], reference channel order."""
+    b, h1, w1, _ = coords.shape
+    c = coords.reshape(b, h1 * w1, 2)
+    outs = [_lookup_level_pallas(corr, c / (2.0 ** i), radius, interpret)
+            for i, corr in enumerate(pyramid)]
+    return jnp.concatenate(outs, axis=-1).reshape(b, h1, w1, -1)
+
+
+lookup_corr_pyramid_fused.defvjp(_lookup_fused_fwd, _lookup_fused_bwd)

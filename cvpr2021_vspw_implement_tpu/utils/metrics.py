@@ -140,7 +140,10 @@ def get_common(gt_list, pred_list, clip_num: int, h: int, w: int):
             gt_common &= (gt_list[i] == gt_list[i + j])
             pred_common &= (pred_list[i] == pred_list[i + j])
         agree = pred_common & gt_common
-        accs.append(agree.sum() / gt_common.sum())
+        denom = gt_common.sum()
+        # empty-denominator windows are nan (the reference relies on
+        # divide-by-zero + nanmean; we guard explicitly)
+        accs.append(agree.sum() / denom if denom else np.nan)
     return accs
 
 
@@ -164,7 +167,9 @@ def video_consistency(gt_frames: np.ndarray, pred_frames: np.ndarray,
         ref_pr = pred_frames[i]
         gt_common = np.all(gt_frames[i + 1:i + clip_num] == ref_gt, axis=0)
         pred_common = np.all(pred_frames[i + 1:i + clip_num] == ref_pr, axis=0)
-        accs.append((pred_common & gt_common).sum() / gt_common.sum())
+        denom = gt_common.sum()
+        accs.append((pred_common & gt_common).sum() / denom
+                    if denom else np.nan)
     return accs
 
 

@@ -87,3 +87,47 @@ def test_nonlocal3d():
     assert outs.shape == (3, 1, 4, 4, 5)
     loss, acc = nonlocal3d_loss(outs, {"labels": labels})
     assert np.isfinite(float(loss))
+
+
+def test_spatial_layernorm_resize_pinned():
+    """Pin the SpatialLayerNorm affine-resize behavior for eval sizes that
+    differ from the train crop (a documented deviation: the reference bakes
+    the crop size into nn.LayerNorm([h,w]) and cannot eval at other sizes;
+    we bilinearly resize the affine maps — models/td4_psp.py:167-186).
+
+    At the native size it must match a plain LayerNorm exactly; at 2x the
+    size, the normalization is exact and the affine params are the bilinear
+    upsampling of the trained maps.
+    """
+    from cvpr2021_vspw_implement_tpu.models.td4_psp import SpatialLayerNorm
+    from cvpr2021_vspw_implement_tpu.ops.interpolate import resize_bilinear
+
+    rng = np.random.default_rng(5)
+    ln = SpatialLayerNorm((6, 6))
+    x6 = jnp.asarray(rng.standard_normal((2, 6, 6, 4), np.float32))
+    variables = ln.init(KEY, x6)
+    scale = jnp.asarray(rng.standard_normal((6, 6), np.float32))
+    bias = jnp.asarray(rng.standard_normal((6, 6), np.float32))
+    variables = {"params": {"scale": scale, "bias": bias}}
+
+    def manual(x, s, b):
+        m = x.mean(axis=(1, 2), keepdims=True)
+        v = x.var(axis=(1, 2), keepdims=True)
+        xh = (x - m) / np.sqrt(v + 1e-5)
+        return xh * np.asarray(s)[None, :, :, None] \
+            + np.asarray(b)[None, :, :, None]
+
+    # native size: plain per-(H,W) LayerNorm semantics
+    got = ln.apply(variables, x6)
+    np.testing.assert_allclose(np.asarray(got),
+                               manual(np.asarray(x6), scale, bias),
+                               rtol=1e-5, atol=1e-5)
+
+    # 2x eval size: affine maps are bilinearly resized, normalization exact
+    x12 = jnp.asarray(rng.standard_normal((2, 12, 12, 4), np.float32))
+    got12 = ln.apply(variables, x12)
+    s12 = resize_bilinear(scale[None, :, :, None], (12, 12))[0, :, :, 0]
+    b12 = resize_bilinear(bias[None, :, :, None], (12, 12))[0, :, :, 0]
+    np.testing.assert_allclose(np.asarray(got12),
+                               manual(np.asarray(x12), s12, b12),
+                               rtol=1e-5, atol=1e-5)
