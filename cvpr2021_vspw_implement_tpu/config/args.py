@@ -61,6 +61,10 @@ def build_train_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="TPU Semantic Segmentation Training")
     add_common_args(parser)
     parser.add_argument("--multi_scale", type=str2bool, default=True)
+    parser.add_argument("--refrng", type=str2bool, default=False,
+                        help="draw augmentation RNG from the global numpy/"
+                             "random streams in the reference's exact call "
+                             "order (training-curve reproduction)")
     parser.add_argument("--train_filter", type=str2bool, default=False)
     parser.add_argument("--use_clipdataset", type=str2bool, default=False)
     parser.add_argument("--dilation2", type=str, default="2,5,9")
@@ -77,6 +81,8 @@ def build_train_clip_parser() -> argparse.ArgumentParser:
     parser = argparse.ArgumentParser(description="TPU Video Segmentation Training")
     add_common_args(parser)
     parser.add_argument("--multi_scale", type=str2bool, default=False)
+    parser.add_argument("--refrng", type=str2bool, default=False,
+                        help="reference-RNG-compatible augmentation draws")
     parser.add_argument("--clip_num", type=int, default=5)
     parser.add_argument("--dilation_num", type=int, default=3)
     parser.add_argument("--clip_up", type=str2bool, default=False)

@@ -89,6 +89,21 @@ def dilation_lists(frames: Sequence[str], num: int) -> list[list[str]]:
 SCALES = (0.8, 1.0, 1.5, 2.0)
 
 
+def _rng_handles(args, seed):
+    """RNG pair (python-random-like, numpy-random-like).
+
+    Default: per-dataset generators (reproducible, parallel-safe).
+    ``args.refrng`` opt-in: the GLOBAL ``random`` / ``np.random`` module
+    streams, drawn in the reference's exact call order — seeding them like
+    the reference driver does (train_clip2.py seeds nothing; a test seeds
+    np.random.seed/random.seed) reproduces the reference's augmentation
+    draw-for-draw (reference consumption sites: dataset2.py:634-653,
+    806-845, 989-990)."""
+    if getattr(args, "refrng", False):
+        return random, np.random
+    return random.Random(seed), np.random.default_rng(seed)
+
+
 def _augment_frame(img: Image.Image, mask: Image.Image, flip: bool,
                    scale: float):
     if flip:
@@ -139,8 +154,7 @@ class FrameDataset:
         self.cropsize = (480, 720) if getattr(args, "train_filter", False) \
             else (args.cropsize, args.cropsize)
         trainfps = 1 if split == "val" else args.trainfps
-        self.rng = random.Random(seed)
-        self.nprng = np.random.default_rng(seed)
+        self.rng, self.nprng = _rng_handles(args, seed)
 
         self.imglist: list[tuple[str, str]] = []
         num = int(15.0 / trainfps)
@@ -182,8 +196,7 @@ class ClipDataset:
         self.cropsize = (args.cropsize, args.cropsize)
         self.clip_num = args.clip_num
         self.dilation = args.dilation_num
-        self.rng = random.Random(seed)
-        self.nprng = np.random.default_rng(seed)
+        self.rng, self.nprng = _rng_handles(args, seed)
         self.videolists = list_videos(self.dataroot, split)
         self.imgdic = {v: list_frames(self.dataroot, v) for v in self.videolists}
 
@@ -208,8 +221,11 @@ class ClipDataset:
 
     def _load_clip(self, video, names):
         flip = bool(self.nprng.choice([0, 1]))
-        scale = float(self.nprng.choice(SCALES)) \
-            if getattr(self.args, "multi_scale", False) else 1.0
+        # the reference draws the scale unconditionally and only APPLIES it
+        # under multi_scale (dataset2.py:807-825, 990-1010)
+        scale = float(self.nprng.choice(SCALES))
+        if not getattr(self.args, "multi_scale", False):
+            scale = 1.0
         imgs, labs = [], []
         for name in names:
             img, mask = load_frame(self.dataroot, video, name,

@@ -133,6 +133,18 @@ class ConvBNReLU(nn.Module):
         return nn.relu(x)
 
 
+#: test/debug hook: globally override every Dropout2d rate (e.g. 0.0 for
+#: deterministic training-curve comparisons against the torch reference,
+#: whose dropout RNG cannot be matched).  Read at TRACE time — set it
+#: before building/jitting the step function.
+_DROPOUT_OVERRIDE: float | None = None
+
+
+def set_dropout_override(rate: float | None) -> None:
+    global _DROPOUT_OVERRIDE
+    _DROPOUT_OVERRIDE = rate
+
+
 class Dropout2d(nn.Module):
     """Channel dropout over NHWC (torch nn.Dropout2d)."""
 
@@ -140,7 +152,8 @@ class Dropout2d(nn.Module):
 
     @nn.compact
     def __call__(self, x, train: bool = False):
-        return nn.Dropout(rate=self.rate, broadcast_dims=(1, 2),
+        rate = self.rate if _DROPOUT_OVERRIDE is None else _DROPOUT_OVERRIDE
+        return nn.Dropout(rate=rate, broadcast_dims=(1, 2),
                           deterministic=not train)(x)
 
 

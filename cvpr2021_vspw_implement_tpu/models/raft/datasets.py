@@ -2,11 +2,14 @@
 (reference: RAFT_core/datasets.py, RAFT_core/utils/augmentor.py).
 
 Directory-layout loaders for the standard flow benchmarks plus a generic
-(img1, img2, flow[, valid]) pair dataset.  The augmentor implements the
-spatial part of the reference's FlowAugmentor (random crop + horizontal /
-vertical flips with flow sign fixes); photometric jitter hooks are kept
-minimal (brightness/contrast) since torchvision's ColorJitter is not part
-of this image.
+(img1, img2, flow[, valid]) pair dataset.  The augmentors implement the
+FULL reference semantics — photometric ColorJitter (asymmetric with p=0.2),
+occlusion eraser, 2^U scale + per-axis stretch, h/v flips with flow sign
+fixes, and the sparse (KITTI) variant's splat-based flow-map resize —
+with two documented substitutions for libraries absent from this image:
+torchvision's ColorJitter is re-implemented in numpy (same blend formulas
+as torchvision.transforms.functional, np RNG instead of torch RNG) and
+cv2.resize(INTER_LINEAR) becomes PIL BILINEAR resize.
 """
 
 from __future__ import annotations
@@ -20,59 +23,265 @@ from PIL import Image
 from .frame_utils import read_flo, read_kitti_png
 
 
-class FlowAugmentor:
-    """Spatial flow augmentation (reference: RAFT_core/utils/augmentor.py)."""
+class ColorJitterNP:
+    """numpy re-implementation of torchvision.transforms.ColorJitter on
+    uint8 images: random op order, factors drawn uniformly, blend formulas
+    per torchvision.transforms.functional (brightness: img*f; contrast:
+    blend with the mean of the grayscale; saturation: blend with the
+    per-pixel grayscale; hue: HSV hue rotation)."""
 
-    def __init__(self, crop_size, do_flip: bool = True,
-                 brightness: float = 0.2, seed: int | None = None):
-        self.crop_size = crop_size
-        self.do_flip = do_flip
+    def __init__(self, brightness, contrast, saturation, hue, rng):
         self.brightness = brightness
+        self.contrast = contrast
+        self.saturation = saturation
+        self.hue = hue
+        self.rng = rng
+
+    @staticmethod
+    def _gray(img):
+        # ITU-R 601-2 luma (PIL convert("L") / torchvision rgb_to_grayscale)
+        return (0.299 * img[..., 0] + 0.587 * img[..., 1]
+                + 0.114 * img[..., 2])
+
+    def __call__(self, img_u8):
+        img = img_u8.astype(np.float32)
+        order = self.rng.permutation(4)
+        for op in order:
+            if op == 0 and self.brightness:
+                f = self.rng.uniform(max(0.0, 1 - self.brightness),
+                                     1 + self.brightness)
+                img = img * f
+            elif op == 1 and self.contrast:
+                f = self.rng.uniform(max(0.0, 1 - self.contrast),
+                                     1 + self.contrast)
+                mean = self._gray(np.clip(img, 0, 255)).mean()
+                img = f * img + (1 - f) * mean
+            elif op == 2 and self.saturation:
+                f = self.rng.uniform(max(0.0, 1 - self.saturation),
+                                     1 + self.saturation)
+                g = self._gray(np.clip(img, 0, 255))[..., None]
+                img = f * img + (1 - f) * g
+            elif op == 3 and self.hue:
+                f = self.rng.uniform(-self.hue, self.hue)
+                img = self._shift_hue(np.clip(img, 0, 255), f)
+            img = np.clip(img, 0, 255)
+        return img.astype(np.uint8)
+
+    @staticmethod
+    def _shift_hue(img, f):
+        import colorsys  # noqa: F401  (documents the HSV convention)
+        r, g, b = img[..., 0] / 255, img[..., 1] / 255, img[..., 2] / 255
+        mx = np.maximum(np.maximum(r, g), b)
+        mn = np.minimum(np.minimum(r, g), b)
+        d = mx - mn
+        h = np.zeros_like(mx)
+        m = d > 0
+        rm = m & (mx == r)
+        gm = m & (mx == g) & ~rm
+        bm = m & ~rm & ~gm
+        h[rm] = ((g - b)[rm] / d[rm]) % 6
+        h[gm] = (b - r)[gm] / d[gm] + 2
+        h[bm] = (r - g)[bm] / d[bm] + 4
+        h = h / 6.0
+        s = np.where(mx > 0, d / np.maximum(mx, 1e-12), 0.0)
+        h = (h + f) % 1.0
+        i = np.floor(h * 6.0)
+        fr = h * 6.0 - i
+        p = mx * (1 - s)
+        q = mx * (1 - s * fr)
+        t = mx * (1 - s * (1 - fr))
+        i = i.astype(np.int32) % 6
+        r2 = np.choose(i, [mx, q, p, p, t, mx])
+        g2 = np.choose(i, [t, mx, mx, q, p, p])
+        b2 = np.choose(i, [p, p, t, mx, mx, q])
+        return np.stack([r2, g2, b2], -1) * 255.0
+
+
+def _resize_img(img, scale_x, scale_y):
+    """cv2.resize(None, fx, fy, INTER_LINEAR) equivalent via PIL BILINEAR
+    (cv2 is not in this image; interpolation weights differ at sub-lsb
+    level only)."""
+    h, w = img.shape[:2]
+    nh, nw = int(round(h * scale_y)), int(round(w * scale_x))
+    if img.ndim == 3 and img.shape[2] == 2:  # flow: resize channels apart
+        chans = [np.asarray(Image.fromarray(img[..., c]).resize(
+            (nw, nh), Image.BILINEAR)) for c in range(2)]
+        return np.stack(chans, -1)
+    return np.asarray(Image.fromarray(img.astype(np.uint8)).resize(
+        (nw, nh), Image.BILINEAR))
+
+
+class FlowAugmentor:
+    """Dense-flow augmentation, full reference semantics
+    (reference: RAFT_core/utils/augmentor.py:15-118)."""
+
+    def __init__(self, crop_size, min_scale=-0.2, max_scale=0.5,
+                 do_flip: bool = True, seed: int | None = None):
+        self.crop_size = crop_size
+        self.min_scale = min_scale
+        self.max_scale = max_scale
+        self.spatial_aug_prob = 0.8
+        self.stretch_prob = 0.8
+        self.max_stretch = 0.2
+        self.do_flip = do_flip
+        self.h_flip_prob = 0.5
+        self.v_flip_prob = 0.1
         self.rng = np.random.default_rng(seed)
+        self.photo_aug = ColorJitterNP(0.4, 0.4, 0.4, 0.5 / 3.14, self.rng)
+        self.asymmetric_color_aug_prob = 0.2
+        self.eraser_aug_prob = 0.5
+
+    def color_transform(self, img1, img2):
+        if self.rng.random() < self.asymmetric_color_aug_prob:
+            return self.photo_aug(img1), self.photo_aug(img2)
+        stack = np.concatenate([img1, img2], axis=0)
+        stack = self.photo_aug(stack)
+        i1, i2 = np.split(stack, 2, axis=0)
+        return i1, i2
+
+    def eraser_transform(self, img1, img2, bounds=(50, 100)):
+        ht, wd = img1.shape[:2]
+        img2 = img2.copy()
+        if self.rng.random() < self.eraser_aug_prob:
+            mean_color = np.mean(img2.reshape(-1, 3), axis=0)
+            for _ in range(int(self.rng.integers(1, 3))):
+                x0 = int(self.rng.integers(0, wd))
+                y0 = int(self.rng.integers(0, ht))
+                dx = int(self.rng.integers(bounds[0], bounds[1]))
+                dy = int(self.rng.integers(bounds[0], bounds[1]))
+                img2[y0:y0 + dy, x0:x0 + dx, :] = mean_color
+        return img1, img2
+
+    def spatial_transform(self, img1, img2, flow):
+        ht, wd = img1.shape[:2]
+        min_scale = np.maximum((self.crop_size[0] + 8) / float(ht),
+                               (self.crop_size[1] + 8) / float(wd))
+        scale = 2 ** self.rng.uniform(self.min_scale, self.max_scale)
+        scale_x = scale_y = scale
+        if self.rng.random() < self.stretch_prob:
+            scale_x *= 2 ** self.rng.uniform(-self.max_stretch,
+                                             self.max_stretch)
+            scale_y *= 2 ** self.rng.uniform(-self.max_stretch,
+                                             self.max_stretch)
+        scale_x = np.clip(scale_x, min_scale, None)
+        scale_y = np.clip(scale_y, min_scale, None)
+
+        if self.rng.random() < self.spatial_aug_prob:
+            img1 = _resize_img(img1, scale_x, scale_y)
+            img2 = _resize_img(img2, scale_x, scale_y)
+            flow = _resize_img(flow.astype(np.float32), scale_x, scale_y)
+            flow = flow * np.array([scale_x, scale_y], np.float32)
+
+        if self.do_flip:
+            if self.rng.random() < self.h_flip_prob:
+                img1 = img1[:, ::-1]
+                img2 = img2[:, ::-1]
+                flow = flow[:, ::-1] * np.array([-1.0, 1.0], np.float32)
+            if self.rng.random() < self.v_flip_prob:
+                img1 = img1[::-1]
+                img2 = img2[::-1]
+                flow = flow[::-1] * np.array([1.0, -1.0], np.float32)
+
+        y0 = int(self.rng.integers(0, img1.shape[0] - self.crop_size[0]))
+        x0 = int(self.rng.integers(0, img1.shape[1] - self.crop_size[1]))
+        sl = np.s_[y0:y0 + self.crop_size[0], x0:x0 + self.crop_size[1]]
+        return img1[sl], img2[sl], flow[sl]
 
     def __call__(self, img1, img2, flow, valid=None):
-        ch, cw = self.crop_size
-        h, w = img1.shape[:2]
-        if h < ch or w < cw:
-            ph, pw = max(ch - h, 0), max(cw - w, 0)
-            pad = ((0, ph), (0, pw))
-            img1 = np.pad(img1, pad + ((0, 0),))
-            img2 = np.pad(img2, pad + ((0, 0),))
-            flow = np.pad(flow, pad + ((0, 0),))
-            if valid is not None:
-                valid = np.pad(valid, pad)
-            h, w = img1.shape[:2]
-        y = int(self.rng.integers(0, h - ch + 1))
-        x = int(self.rng.integers(0, w - cw + 1))
-        sl = np.s_[y:y + ch, x:x + cw]
-        img1, img2, flow = img1[sl], img2[sl], flow[sl]
-        if valid is not None:
-            valid = valid[sl]
-
-        if self.do_flip and self.rng.random() < 0.5:   # h-flip
-            img1 = img1[:, ::-1]
-            img2 = img2[:, ::-1]
-            flow = flow[:, ::-1] * np.array([-1.0, 1.0], np.float32)
-            if valid is not None:
-                valid = valid[:, ::-1]
-        if self.do_flip and self.rng.random() < 0.1:   # v-flip
-            img1 = img1[::-1]
-            img2 = img2[::-1]
-            flow = flow[::-1] * np.array([1.0, -1.0], np.float32)
-            if valid is not None:
-                valid = valid[::-1]
-
-        if self.brightness:
-            scale = 1.0 + self.rng.uniform(-self.brightness, self.brightness)
-            img1 = np.clip(img1 * scale, 0, 255)
-            img2 = np.clip(img2 * scale, 0, 255)
-
-        out_valid = valid if valid is not None else np.ones(flow.shape[:2],
-                                                            np.float32)
+        img1 = np.clip(img1, 0, 255).astype(np.uint8)
+        img2 = np.clip(img2, 0, 255).astype(np.uint8)
+        img1, img2 = self.color_transform(img1, img2)
+        img1, img2 = self.eraser_transform(img1, img2)
+        img1, img2, flow = self.spatial_transform(img1, img2, flow)
+        out_valid = np.ones(flow.shape[:2], np.float32)
         return (np.ascontiguousarray(img1, np.float32),
                 np.ascontiguousarray(img2, np.float32),
                 np.ascontiguousarray(flow, np.float32),
-                np.ascontiguousarray(out_valid, np.float32))
+                np.ascontiguousarray(out_valid))
+
+
+class SparseFlowAugmentor:
+    """Sparse-flow (KITTI) augmentation with splat-based flow-map resize
+    (reference: RAFT_core/utils/augmentor.py:122-246)."""
+
+    def __init__(self, crop_size, min_scale=-0.2, max_scale=0.5,
+                 do_flip: bool = False, seed: int | None = None):
+        self.crop_size = crop_size
+        self.min_scale = min_scale
+        self.max_scale = max_scale
+        self.spatial_aug_prob = 0.8
+        self.do_flip = do_flip
+        self.rng = np.random.default_rng(seed)
+        self.photo_aug = ColorJitterNP(0.3, 0.3, 0.3, 0.3 / 3.14, self.rng)
+        self.eraser_aug_prob = 0.5
+
+    def color_transform(self, img1, img2):
+        stack = np.concatenate([img1, img2], axis=0)
+        stack = self.photo_aug(stack)
+        i1, i2 = np.split(stack, 2, axis=0)
+        return i1, i2
+
+    eraser_transform = FlowAugmentor.eraser_transform
+
+    @staticmethod
+    def resize_sparse_flow_map(flow, valid, fx=1.0, fy=1.0):
+        ht, wd = flow.shape[:2]
+        coords = np.stack(np.meshgrid(np.arange(wd), np.arange(ht)),
+                          axis=-1).reshape(-1, 2).astype(np.float32)
+        flow_f = flow.reshape(-1, 2).astype(np.float32)
+        valid_f = valid.reshape(-1).astype(np.float32)
+        coords0 = coords[valid_f >= 1]
+        flow0 = flow_f[valid_f >= 1]
+        ht1, wd1 = int(round(ht * fy)), int(round(wd * fx))
+        coords1 = coords0 * [fx, fy]
+        flow1 = flow0 * [fx, fy]
+        xx = np.round(coords1[:, 0]).astype(np.int32)
+        yy = np.round(coords1[:, 1]).astype(np.int32)
+        v = (xx > 0) & (xx < wd1) & (yy > 0) & (yy < ht1)
+        flow_img = np.zeros([ht1, wd1, 2], np.float32)
+        valid_img = np.zeros([ht1, wd1], np.int32)
+        flow_img[yy[v], xx[v]] = flow1[v]
+        valid_img[yy[v], xx[v]] = 1
+        return flow_img, valid_img
+
+    def spatial_transform(self, img1, img2, flow, valid):
+        ht, wd = img1.shape[:2]
+        min_scale = np.maximum((self.crop_size[0] + 1) / float(ht),
+                               (self.crop_size[1] + 1) / float(wd))
+        scale = 2 ** self.rng.uniform(self.min_scale, self.max_scale)
+        scale_x = float(np.clip(scale, min_scale, None))
+        scale_y = float(np.clip(scale, min_scale, None))
+        if self.rng.random() < self.spatial_aug_prob:
+            img1 = _resize_img(img1, scale_x, scale_y)
+            img2 = _resize_img(img2, scale_x, scale_y)
+            flow, valid = self.resize_sparse_flow_map(flow, valid,
+                                                      scale_x, scale_y)
+        if self.do_flip and self.rng.random() < 0.5:
+            img1 = img1[:, ::-1]
+            img2 = img2[:, ::-1]
+            flow = flow[:, ::-1] * np.array([-1.0, 1.0], np.float32)
+            valid = valid[:, ::-1]
+        margin_y, margin_x = 20, 50
+        y0 = int(self.rng.integers(
+            0, img1.shape[0] - self.crop_size[0] + margin_y))
+        x0 = int(self.rng.integers(
+            -margin_x, img1.shape[1] - self.crop_size[1] + margin_x))
+        y0 = int(np.clip(y0, 0, img1.shape[0] - self.crop_size[0]))
+        x0 = int(np.clip(x0, 0, img1.shape[1] - self.crop_size[1]))
+        sl = np.s_[y0:y0 + self.crop_size[0], x0:x0 + self.crop_size[1]]
+        return img1[sl], img2[sl], flow[sl], valid[sl]
+
+    def __call__(self, img1, img2, flow, valid):
+        img1 = np.clip(img1, 0, 255).astype(np.uint8)
+        img2 = np.clip(img2, 0, 255).astype(np.uint8)
+        img1, img2 = self.color_transform(img1, img2)
+        img1, img2 = self.eraser_transform(img1, img2)
+        img1, img2, flow, valid = self.spatial_transform(
+            img1, img2, flow, valid)
+        return (np.ascontiguousarray(img1, np.float32),
+                np.ascontiguousarray(img2, np.float32),
+                np.ascontiguousarray(flow, np.float32),
+                np.ascontiguousarray(valid.astype(np.float32)))
 
 
 class FlowPairDataset:

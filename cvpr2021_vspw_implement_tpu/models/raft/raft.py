@@ -97,9 +97,12 @@ class RAFT(nn.Module):
         mask0 = jnp.zeros((b, h8, w8, 64 * 9), jnp.float32)
 
         # fused gather-free Pallas lookup on TPU (ops/pallas/corr.py — the
-        # alt_cuda_corr equivalent); XLA take_along_axis path elsewhere
+        # alt_cuda_corr equivalent); XLA take_along_axis path elsewhere and
+        # during init (flax init may execute on the host CPU backend where
+        # compiled pallas_call is unavailable)
         import os as _os
-        if (jax.default_backend() not in ("cpu",)
+        if (not self.is_initializing()
+                and jax.default_backend() not in ("cpu",)
                 and _os.environ.get("VSPW_TPU_PALLAS", "1") == "1"):
             from ...ops.pallas.corr import lookup_corr_pyramid_fused
             lookup = lookup_corr_pyramid_fused
@@ -142,15 +145,20 @@ class RAFT(nn.Module):
         return flow_up
 
 
-def pad_to_multiple_of_8(x: jnp.ndarray):
-    """InputPadder 'sintel' mode (reference: RAFT_core/utils/utils.py:7-25).
+def pad_to_multiple_of_8(x: jnp.ndarray, mode: str = "sintel"):
+    """InputPadder (reference: RAFT_core/utils/utils.py:7-25).
 
+    'sintel': symmetric pads; 'kitti': height padded at the bottom only.
     x: [B, H, W, C] → (padded, (top, bottom, left, right)).
     """
     h, w = x.shape[1:3]
     pad_h = (((h // 8) + 1) * 8 - h) % 8
     pad_w = (((w // 8) + 1) * 8 - w) % 8
-    pads = (pad_h // 2, pad_h - pad_h // 2, pad_w // 2, pad_w - pad_w // 2)
+    if mode == "kitti":
+        pads = (0, pad_h, pad_w // 2, pad_w - pad_w // 2)
+    else:
+        pads = (pad_h // 2, pad_h - pad_h // 2,
+                pad_w // 2, pad_w - pad_w // 2)
     padded = jnp.pad(x, ((0, 0), (pads[0], pads[1]), (pads[2], pads[3]),
                          (0, 0)))
     return padded, pads

@@ -117,3 +117,61 @@ def validate_epe(model, variables, dataset, iters: int | None = None) -> float:
             epe = epe[valid]
         epes.append(epe.reshape(-1))
     return float(np.mean(np.concatenate(epes)))
+
+
+def validate_sintel(model, variables, dataset, iters: int | None = None):
+    """Sintel-train validation metrics (reference: RAFT/evaluate.py:96-126):
+    pixel EPEs pooled over the whole split → mean EPE + 1px/3px/5px rates.
+    ``dataset`` yields (img1, img2, flow_gt[, valid]) numpy items; images
+    are padded to /8 with the 'sintel' padder like the reference."""
+    import numpy as np
+
+    from .raft import pad_to_multiple_of_8, unpad
+
+    @jax.jit
+    def infer(i1, i2):
+        _, flow = model.apply(variables, i1, i2, test_mode=True)
+        return flow
+
+    epes = []
+    for item in dataset:
+        img1, img2, flow_gt = item[0], item[1], item[2]
+        p1, pads = pad_to_multiple_of_8(jnp.asarray(img1[None]))
+        p2, _ = pad_to_multiple_of_8(jnp.asarray(img2[None]))
+        flow = np.asarray(unpad(infer(p1, p2), pads))[0]
+        epe = np.sqrt(np.sum((flow - flow_gt) ** 2, axis=-1))
+        epes.append(epe.reshape(-1))
+    epe_all = np.concatenate(epes)
+    return {"epe": float(np.mean(epe_all)),
+            "1px": float(np.mean(epe_all < 1)),
+            "3px": float(np.mean(epe_all < 3)),
+            "5px": float(np.mean(epe_all < 5))}
+
+
+def validate_kitti(model, variables, dataset, iters: int | None = None):
+    """KITTI-2015-train validation (reference: RAFT/evaluate.py:131-166):
+    per-image valid-pixel EPE means averaged, and F1-all = fraction of
+    valid pixels with epe>3 AND epe/mag>0.05 (mag = |flow_gt|), pooled.
+    Uses the 'kitti' padder (bottom-pad height)."""
+    import numpy as np
+
+    from .raft import pad_to_multiple_of_8, unpad
+
+    @jax.jit
+    def infer(i1, i2):
+        _, flow = model.apply(variables, i1, i2, test_mode=True)
+        return flow
+
+    epe_list, out_list = [], []
+    for img1, img2, flow_gt, valid_gt in dataset:
+        p1, pads = pad_to_multiple_of_8(jnp.asarray(img1[None]), "kitti")
+        p2, _ = pad_to_multiple_of_8(jnp.asarray(img2[None]), "kitti")
+        flow = np.asarray(unpad(infer(p1, p2), pads))[0]
+        epe = np.sqrt(np.sum((flow - flow_gt) ** 2, axis=-1)).reshape(-1)
+        mag = np.sqrt(np.sum(flow_gt ** 2, axis=-1)).reshape(-1)
+        val = valid_gt.reshape(-1) >= 0.5
+        out = ((epe > 3.0) & ((epe / np.maximum(mag, 1e-12)) > 0.05))
+        epe_list.append(float(epe[val].mean()))
+        out_list.append(out[val])
+    return {"epe": float(np.mean(epe_list)),
+            "f1": float(100 * np.mean(np.concatenate(out_list)))}

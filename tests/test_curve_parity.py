@@ -1,0 +1,237 @@
+"""Seeded training-curve parity vs the reference torch pipeline.
+
+From identical imported weights and identical batches, N full SGD steps of
+the reference torch training loop (loss, backward, poly-LR SGD with the
+reference's weight-decay groups — train.py:191-238 / train_clip2.py:215-252)
+must produce the same per-step loss trajectory as our jitted train step,
+for per-frame PSP and for clip_psp.
+
+Dropout is deterministically disabled on BOTH sides (torch p=0; our
+``set_dropout_override(0.0)``) — the two frameworks' dropout RNGs cannot be
+matched, and everything else (BN batch stats, momentum, decay groups, poly
+schedule, loss order) is exercised exactly.
+"""
+
+import argparse
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_fused_numeric import _randomize, _ref_import  # noqa: E402
+
+REF = "/root/reference"
+K = 5
+LR, MOM, WD, MAX_ITERS, STEPS = 0.02, 0.9, 1e-4, 20, 3
+
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference not mounted")
+
+
+def _zero_torch_dropout(model):
+    for m in model.modules():
+        if isinstance(m, (torch.nn.Dropout, torch.nn.Dropout2d)):
+            m.p = 0.0
+
+
+def _poly(i):
+    return (1.0 - i / MAX_ITERS) ** 0.9
+
+
+@pytest.fixture()
+def no_dropout():
+    from cvpr2021_vspw_implement_tpu.models.layers import set_dropout_override
+    set_dropout_override(0.0)
+    yield
+    set_dropout_override(None)
+
+
+def _frame_batches(rng, n, b, h, w):
+    out = []
+    for _ in range(n):
+        img = rng.standard_normal((b, h, w, 3)).astype(np.float32)
+        lab = rng.integers(0, K, (b, h, w)).astype(np.int32)
+        lab[:, 0, 0] = 255  # exercise ignore_index
+        out.append((img, lab))
+    return out
+
+
+def test_frame_psp_curve_matches_reference(no_dropout):
+    mm = _ref_import("models.models")
+    torch.manual_seed(0)
+    enc = mm.ModelBuilder.build_encoder("resnet18dilated", weights="")
+    dec = mm.ModelBuilder.build_decoder("ppm_deepsup", fc_dim=512,
+                                        num_class=K, use_softmax=False)
+    seg = mm.SegmentationModule(enc, dec,
+                                torch.nn.NLLLoss(ignore_index=255),
+                                deep_sup_scale=0.4)
+    _randomize(seg, seed=61)
+    _zero_torch_dropout(seg)
+    seg.train()
+
+    # reference per-frame recipe: two SGDs over group_weight splits
+    # (kernels decay, BN/bias no-decay), shared poly LR (train.py:191-238)
+    def group_weight(module):
+        decay, no_decay = [], []
+        for m in module.modules():
+            if isinstance(m, (torch.nn.Linear, torch.nn.modules.conv._ConvNd)):
+                decay.append(m.weight)
+                if m.bias is not None:
+                    no_decay.append(m.bias)
+            elif isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+                if m.weight is not None:
+                    no_decay.append(m.weight)
+                if m.bias is not None:
+                    no_decay.append(m.bias)
+        assert len(list(module.parameters())) == len(decay) + len(no_decay)
+        return [dict(params=decay),
+                dict(params=no_decay, weight_decay=0.0)]
+
+    opt_e = torch.optim.SGD(group_weight(enc), lr=LR, momentum=MOM,
+                            weight_decay=WD)
+    opt_d = torch.optim.SGD(group_weight(dec), lr=LR, momentum=MOM,
+                            weight_decay=WD)
+
+    rng = np.random.default_rng(62)
+    batches = _frame_batches(rng, STEPS, 2, 48, 48)
+
+    ref_losses = []
+    for i, (img, lab) in enumerate(batches):
+        for opt in (opt_e, opt_d):
+            for g in opt.param_groups:
+                g["lr"] = LR * _poly(i)
+        feed = {"img_data": torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                "seg_label": torch.from_numpy(
+                    lab.astype(np.float32))[:, None]}
+        loss, _acc = seg(feed)
+        opt_e.zero_grad(), opt_d.zero_grad()
+        loss.backward()
+        opt_e.step(), opt_d.step()
+        ref_losses.append(float(loss))
+
+    # ---------------- ours: same weights, same batches ----------------
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_ppm_decoder_state_dict, import_resnet_state_dict)
+    from cvpr2021_vspw_implement_tpu.models.segmentation import (
+        SegmentationModule)
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_frame_optimizer)
+
+    enc_v = import_resnet_state_dict(enc.state_dict())
+    dec_v = import_ppm_decoder_state_dict(dec.state_dict(), deepsup=True)
+    variables = {c: {"encoder": enc_v[c], "decoder": dec_v[c]}
+                 for c in ("params", "batch_stats")}
+    model = SegmentationModule(
+        ModelBuilder.build_encoder("resnet18dilated"),
+        ModelBuilder.build_decoder("ppm_deepsup", fc_dim=512, num_class=K))
+    tx = create_frame_optimizer(variables["params"], lr=LR,
+                                max_iters=MAX_ITERS, momentum=MOM,
+                                weight_decay=WD)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(model, tx, deep_sup_scale=0.4, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for img, lab in batches:
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(img), "label": jnp.asarray(lab)}, key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4  # curve actually moves
+
+
+def test_clip_psp_curve_matches_reference(no_dropout):
+    ref_clip_psp = _ref_import("models.clip_psp")
+    mm = _ref_import("models.models")
+    args = argparse.Namespace(num_class=K, psp_weight=False)
+    torch.manual_seed(1)
+    enc = mm.ModelBuilder.build_encoder("resnet50dilated", weights="")
+    tmodel = ref_clip_psp.Clip_PSP(enc, torch.nn.NLLLoss(ignore_index=255),
+                                   args, deep_sup_scale=0.4)
+    _randomize(tmodel, seed=63)
+    _zero_torch_dropout(tmodel)
+    tmodel.train()
+
+    # clip recipe: one SGD over 1x/10x x decay/no-decay groups
+    # (train_clip2.py:215-252)
+    train_params = [
+        {"params": tmodel.get_1x_lr_params(), "lr": LR * 0.1,
+         "weight_decay": WD},
+        {"params": tmodel.get_10x_lr_params(), "lr": LR, "weight_decay": WD},
+        {"params": tmodel.get_1x_lr_params_bias(), "lr": LR * 0.1,
+         "weight_decay": 0},
+        {"params": tmodel.get_10x_lr_params_bias(), "lr": LR,
+         "weight_decay": 0},
+    ]
+    opt = torch.optim.SGD(train_params, lr=LR, momentum=MOM,
+                          weight_decay=WD)
+
+    rng = np.random.default_rng(64)
+    t1, b, hw = 3, 2, 48
+    batches = []
+    for _ in range(STEPS):
+        imgs = rng.standard_normal((t1, b, hw, hw, 3)).astype(np.float32)
+        labs = rng.integers(0, K, (t1, b, hw, hw)).astype(np.int32)
+        batches.append((imgs, labs))
+
+    ref_losses = []
+    for i, (imgs, labs) in enumerate(batches):
+        lr_i = LR * _poly(i)
+        for gi, g in enumerate(opt.param_groups):
+            g["lr"] = lr_i * (0.1 if gi in (0, 2) else 1.0)
+        # target LAST in our layout == reference img_data + clipimgs order
+        feed = {
+            "img_data": torch.from_numpy(
+                imgs[-1].transpose(0, 3, 1, 2)),
+            "clipimgs_data": [torch.from_numpy(f.transpose(0, 3, 1, 2))
+                              for f in imgs[:-1]],
+            "seg_label": torch.from_numpy(
+                labs[-1].astype(np.float32))[:, None],
+            "cliplabels_data": [torch.from_numpy(
+                l.astype(np.float32))[:, None] for l in labs[:-1]],
+        }
+        loss, _acc = tmodel(feed)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.clip_psp import (
+        ClipPSP, clip_psp_loss)
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_clip_psp_state_dict)
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+
+    variables = import_clip_psp_state_dict(tmodel.state_dict())
+    model = ClipPSP(encoder=ModelBuilder.build_encoder("resnet50dilated"),
+                    num_class=K, fc_dim=2048)
+    tx = create_clip_optimizer(variables["params"], lr=LR,
+                               max_iters=MAX_ITERS, momentum=MOM,
+                               weight_decay=WD)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(model, tx, loss_fn=clip_psp_loss, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for imgs, labs in batches:
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(imgs), "labels": jnp.asarray(labs)},
+            key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4

@@ -101,3 +101,88 @@ def test_flow_viz():
     assert img.shape == (5, 5, 3) and img.dtype == np.uint8
     # uniform flow → uniform color
     assert (img == img[0, 0]).all()
+
+
+class _StubFlowModel:
+    """Any object with .apply works for the validate_* harnesses; returns a
+    fixed flow field regardless of input (pads are zero when inputs are /8)."""
+
+    def __init__(self, flow):
+        self.flow = flow
+
+    def apply(self, variables, i1, i2, test_mode=False):
+        import jax.numpy as jnp
+        return None, jnp.asarray(self.flow[None])
+
+
+def test_validate_sintel_metric_math():
+    """EPE + 1/3/5px pooled-pixel rates exactly as the reference computes
+    them (RAFT/evaluate.py:115-123; the reference module itself imports cv2
+    which is absent, so the oracle is the transcribed formula)."""
+    from cvpr2021_vspw_implement_tpu.models.raft.training import (
+        validate_sintel)
+    rng = np.random.default_rng(9)
+    h, w = 16, 24  # /8 → padder is a no-op
+    items = []
+    for _ in range(3):
+        img = rng.standard_normal((h, w, 3)).astype(np.float32)
+        gt = rng.uniform(-6, 6, (h, w, 2)).astype(np.float32)
+        items.append((img, img, gt))
+    pred = rng.uniform(-6, 6, (h, w, 2)).astype(np.float32)
+
+    got = validate_sintel(_StubFlowModel(pred), {}, items)
+
+    epes = np.concatenate([
+        np.sqrt(np.sum((pred - gt) ** 2, axis=-1)).reshape(-1)
+        for _, _, gt in items])
+    np.testing.assert_allclose(got["epe"], epes.mean(), rtol=1e-6)
+    np.testing.assert_allclose(got["1px"], np.mean(epes < 1), rtol=1e-6)
+    np.testing.assert_allclose(got["3px"], np.mean(epes < 3), rtol=1e-6)
+    np.testing.assert_allclose(got["5px"], np.mean(epes < 5), rtol=1e-6)
+
+
+def test_validate_kitti_metric_math():
+    """Per-image valid EPE mean + pooled F1-all (epe>3 & epe/mag>0.05),
+    reference: RAFT/evaluate.py:148-166."""
+    from cvpr2021_vspw_implement_tpu.models.raft.training import (
+        validate_kitti)
+    rng = np.random.default_rng(10)
+    h, w = 16, 24
+    items, ref_epes, ref_outs = [], [], []
+    pred = rng.uniform(-8, 8, (h, w, 2)).astype(np.float32)
+    for _ in range(2):
+        img = rng.standard_normal((h, w, 3)).astype(np.float32)
+        gt = rng.uniform(-8, 8, (h, w, 2)).astype(np.float32)
+        valid = (rng.random((h, w)) > 0.3).astype(np.float32)
+        items.append((img, img, gt, valid))
+        epe = np.sqrt(np.sum((pred - gt) ** 2, -1)).reshape(-1)
+        mag = np.sqrt(np.sum(gt ** 2, -1)).reshape(-1)
+        v = valid.reshape(-1) >= 0.5
+        ref_epes.append(epe[v].mean())
+        ref_outs.append(((epe > 3.0) & (epe / mag > 0.05))[v])
+
+    got = validate_kitti(_StubFlowModel(pred), {}, items)
+    np.testing.assert_allclose(got["epe"], np.mean(ref_epes), rtol=1e-6)
+    np.testing.assert_allclose(
+        got["f1"], 100 * np.mean(np.concatenate(ref_outs)), rtol=1e-6)
+
+
+def test_validate_smoke_with_real_raft_and_padding():
+    """End-to-end validate_* over a real (tiny) RAFT with non-/8 inputs —
+    exercises the sintel and kitti padders."""
+    from cvpr2021_vspw_implement_tpu.models.raft.raft import RAFT
+    from cvpr2021_vspw_implement_tpu.models.raft.training import (
+        validate_kitti, validate_sintel)
+    rng = np.random.default_rng(11)
+    model = RAFT(iters=2, corr_levels=2)
+    h, w = 36, 44  # pads to 40x48
+    img = rng.uniform(0, 255, (h, w, 3)).astype(np.float32)
+    variables = model.init(jax.random.PRNGKey(0),
+                           jnp.asarray(img[None]), jnp.asarray(img[None]),
+                           test_mode=True)
+    gt = rng.uniform(-2, 2, (h, w, 2)).astype(np.float32)
+    valid = np.ones((h, w), np.float32)
+    s = validate_sintel(model, variables, [(img, img, gt)])
+    k = validate_kitti(model, variables, [(img, img, gt, valid)])
+    assert np.isfinite(s["epe"]) and 0 <= s["3px"] <= 1
+    assert np.isfinite(k["epe"]) and 0 <= k["f1"] <= 100
