@@ -209,6 +209,46 @@ def main():
         pass
     train_mfu = (train_flops / train_dt / peak if train_flops else None)
 
+    # ---------------- 4. NetWarp training step (flow-coupled method) -------
+    # frozen 20-iter RAFT + R101 + warps at the reference per-chip shape;
+    # exercises the Pallas corr-lookup kernel (ops/pallas/corr.py) inside
+    # the jitted step.  Guarded: a failure here must not lose the primary
+    # metrics.
+    netwarp_ms = None
+    try:
+        from cvpr2021_vspw_implement_tpu.models.netwarp import (
+            NetWarp, netwarp_loss)
+        nenc = ModelBuilder.build_encoder("resnet101dilated",
+                                          dtype=jnp.bfloat16)
+        nmodel = NetWarp(encoder=nenc, num_class=124, fc_dim=2048,
+                         raft_iters=20, dtype=jnp.bfloat16)
+        nimgs = jnp.asarray(
+            rng.standard_normal((2, bb, crop, crop, 3)).astype(np.float32))
+        nlabels = jnp.asarray(rng.integers(0, 124, (2, bb, crop, crop)),
+                              jnp.int32)
+        nbatch = {"img": nimgs, "labels": nlabels}
+        with jax.default_device(jax.devices("cpu")[0]):
+            nvars = nmodel.init({"params": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(1)},
+                                jnp.zeros((2, 1, 64, 64, 3), jnp.float32),
+                                train=True)
+        nvars = jax.device_put(nvars, dev)
+        ntx = create_clip_optimizer(nvars["params"], lr=0.002, max_iters=100)
+        nstate = TrainState.create(nvars, ntx)
+        nstep = make_train_step(nmodel, ntx, loss_fn=netwarp_loss,
+                                donate=False)
+        _, nm = nstep(nstate, nbatch, key)
+        float(nm["loss"])
+        netwarp_ms = float("inf")
+        for _trial in range(3):
+            start = time.perf_counter()
+            _, nm = nstep(nstate, nbatch, key)
+            float(nm["loss"])
+            netwarp_ms = min(netwarp_ms, time.perf_counter() - start)
+        netwarp_ms = round(netwarp_ms * 1e3, 1)
+    except Exception:
+        pass
+
     rnd = lambda x, n=4: (round(x, n) if isinstance(x, float) else x)
     print(json.dumps({
         "metric": "tcb_psp_r101_480p_streaming_inference",
@@ -225,6 +265,7 @@ def main():
         "train_step_ms": round(train_dt * 1e3, 2),
         "train_mfu": rnd(train_mfu),
         "train_shape": "T+1=4 x B=2 x 479x479 (run_temporal_psp.sh/chip)",
+        "netwarp_train_step_ms": netwarp_ms,
         "device": getattr(dev, "device_kind", str(dev)),
         "peak_tflops_bf16": peak / 1e12,
     }))

@@ -60,15 +60,29 @@ def remap_label(segm: np.ndarray) -> np.ndarray:
     return out
 
 
+def _load_mask(dataroot, video, imgname, lesslabel):
+    maskdir = "mask_42label" if lesslabel else "mask"
+    return Image.open(os.path.join(dataroot, "data", video, maskdir,
+                                   os.path.splitext(imgname)[0] + ".png"))
+
+
 def load_frame(dataroot: str, video: str, imgname: str,
                lesslabel: bool = False):
-    """Load (PIL image RGB, PIL mask) for one frame."""
-    img = Image.open(os.path.join(dataroot, "data", video, "origin",
-                                  imgname)).convert("RGB")
-    maskdir = "mask_42label" if lesslabel else "mask"
-    mask = Image.open(os.path.join(dataroot, "data", video, maskdir,
-                                   os.path.splitext(imgname)[0] + ".png"))
-    return img, mask
+    """Load (PIL image RGB, PIL mask) for one frame.
+
+    JPEG frames take the native libjpeg path (native/jpegpool.cpp —
+    bit-identical to PIL's decode, tested) wrapped back into a PIL image so
+    the augmentation ops are unchanged; PIL is the fallback."""
+    path = os.path.join(dataroot, "data", video, "origin", imgname)
+    img = None
+    if imgname.lower().endswith((".jpg", ".jpeg")):
+        from .. import native
+        arr = native.decode_jpeg(path)
+        if arr is not None:
+            img = Image.fromarray(arr)
+    if img is None:
+        img = Image.open(path).convert("RGB")
+    return img, _load_mask(dataroot, video, imgname, lesslabel)
 
 
 def list_videos(dataroot: str, split: str) -> list[str]:
@@ -226,10 +240,21 @@ class ClipDataset:
         scale = float(self.nprng.choice(SCALES))
         if not getattr(self.args, "multi_scale", False):
             scale = 1.0
+        lesslabel = getattr(self.args, "lesslabel", False)
+        # the clip's JPEG frames decode concurrently on the native pool
+        decoded = None
+        if all(n.lower().endswith((".jpg", ".jpeg")) for n in names):
+            from .. import native
+            decoded = native.decode_jpeg_batch(
+                [os.path.join(self.dataroot, "data", video, "origin", n)
+                 for n in names])
         imgs, labs = [], []
-        for name in names:
-            img, mask = load_frame(self.dataroot, video, name,
-                                   getattr(self.args, "lesslabel", False))
+        for i, name in enumerate(names):
+            if decoded is not None:
+                img = Image.fromarray(decoded[i])
+                mask = _load_mask(self.dataroot, video, name, lesslabel)
+            else:
+                img, mask = load_frame(self.dataroot, video, name, lesslabel)
             if self.split == "train":
                 img, mask = _augment_frame(img, mask, flip, scale)
             imgs.append(np.asarray(img))  # uint8 until after crop

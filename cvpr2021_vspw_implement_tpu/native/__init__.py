@@ -84,3 +84,91 @@ def remap_label_u8(mask: np.ndarray) -> np.ndarray:
 
 def available() -> bool:
     return bool(_load())
+
+
+# ---------------------------------------------------------------------------
+# JPEG decode pool (jpegpool.cpp, links against the system libjpeg)
+# ---------------------------------------------------------------------------
+_JPEG_SO = os.path.join(_DIR, "libjpegpool.so")
+_jpeg_lib = None
+
+
+def _load_jpeg():
+    global _jpeg_lib
+    if _jpeg_lib is not None:
+        return _jpeg_lib
+    if not os.path.exists(_JPEG_SO):
+        src = os.path.join(_DIR, "jpegpool.cpp")
+        try:
+            subprocess.run(["g++", "-O3", "-shared", "-fPIC", src,
+                            "-o", _JPEG_SO, "-ljpeg", "-lpthread"],
+                           check=True, capture_output=True)
+        except Exception:
+            _jpeg_lib = False
+            return _jpeg_lib
+    try:
+        lib = ctypes.CDLL(_JPEG_SO)
+        c = ctypes
+        lib.jpeg_dims.argtypes = [c.c_char_p, c.POINTER(c.c_int),
+                                  c.POINTER(c.c_int)]
+        lib.jpeg_decode_rgb.argtypes = [c.c_char_p,
+                                        c.POINTER(c.c_uint8),
+                                        c.c_int, c.c_int]
+        lib.jpeg_decode_batch.argtypes = [c.POINTER(c.c_char_p), c.c_int,
+                                          c.POINTER(c.POINTER(c.c_uint8)),
+                                          c.POINTER(c.c_int),
+                                          c.POINTER(c.c_int), c.c_int]
+        _jpeg_lib = lib
+    except Exception:
+        _jpeg_lib = False
+    return _jpeg_lib
+
+
+def decode_jpeg(path: str):
+    """Decode one JPEG to an RGB uint8 [H, W, 3] array via libjpeg
+    (bit-identical to PIL's decode — same libjpeg, same ISLOW IDCT).
+    Returns None when the native library is unavailable or decode fails
+    (callers fall back to PIL)."""
+    lib = _load_jpeg()
+    if not lib:
+        return None
+    h, w = ctypes.c_int(), ctypes.c_int()
+    if lib.jpeg_dims(path.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+        return None
+    out = np.empty((h.value, w.value, 3), np.uint8)
+    rc = lib.jpeg_decode_rgb(
+        path.encode(), out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        h.value, w.value)
+    return out if rc == 0 else None
+
+
+def decode_jpeg_batch(paths, nthreads: int | None = None):
+    """Decode a list of JPEGs concurrently on the in-process thread pool
+    (the native replacement for the reference's DataLoader worker
+    processes).  Returns a list of uint8 arrays, or None on any failure
+    (callers fall back to per-file PIL)."""
+    lib = _load_jpeg()
+    if not lib or not paths:
+        return None
+    n = len(paths)
+    if nthreads is None:
+        nthreads = min(n, os.cpu_count() or 1)
+    hs = (ctypes.c_int * n)()
+    ws = (ctypes.c_int * n)()
+    cpaths = (ctypes.c_char_p * n)(*[p.encode() for p in paths])
+    outs = []
+    bufs = (ctypes.POINTER(ctypes.c_uint8) * n)()
+    for i, p in enumerate(paths):
+        h, w = ctypes.c_int(), ctypes.c_int()
+        if lib.jpeg_dims(p.encode(), ctypes.byref(h), ctypes.byref(w)) != 0:
+            return None
+        a = np.empty((h.value, w.value, 3), np.uint8)
+        outs.append(a)
+        hs[i], ws[i] = h.value, w.value
+        bufs[i] = a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+    fails = lib.jpeg_decode_batch(cpaths, n, bufs, hs, ws, int(nthreads))
+    return outs if fails == 0 else None
+
+
+def jpeg_available() -> bool:
+    return bool(_load_jpeg())

@@ -1,5 +1,7 @@
 """Native host-ops (C++ via ctypes) parity with the numpy path."""
 
+import os
+
 import numpy as np
 
 from cvpr2021_vspw_implement_tpu import native
@@ -25,3 +27,31 @@ def test_remap_matches_numpy():
     ref[mask == 0] = 255
     ref[ref == 254] = 255
     np.testing.assert_array_equal(out, ref)
+
+
+def test_native_jpeg_decode_matches_pil(tmp_path):
+    """libjpeg pool decode must be bit-identical to PIL (same libjpeg,
+    same ISLOW IDCT) — single and batched."""
+    import glob
+
+    from PIL import Image
+
+    from cvpr2021_vspw_implement_tpu import native
+    from cvpr2021_vspw_implement_tpu.data import make_synthetic_vspw
+
+    if not native.jpeg_available():
+        import pytest
+        pytest.skip("libjpeg toolchain unavailable")
+    root = str(tmp_path / "v")
+    make_synthetic_vspw(root, 1, 4, (40, 56), 5, seed=13)
+    paths = sorted(glob.glob(os.path.join(root, "data", "*", "origin",
+                                          "*.jpg")))
+    pil = [np.asarray(Image.open(p).convert("RGB")) for p in paths]
+    one = native.decode_jpeg(paths[0])
+    np.testing.assert_array_equal(one, pil[0])
+    batch = native.decode_jpeg_batch(paths, nthreads=3)
+    assert batch is not None
+    for a, b in zip(batch, pil):
+        np.testing.assert_array_equal(a, b)
+    # missing file → clean failure, not a crash
+    assert native.decode_jpeg(paths[0] + ".nope") is None
