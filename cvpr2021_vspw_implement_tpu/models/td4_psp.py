@@ -303,7 +303,10 @@ def ohem_ce_loss(logits_up: jnp.ndarray, label: jnp.ndarray, n_min: int,
     logp = jax.nn.log_softmax(logits_up.astype(jnp.float32), axis=-1)
     valid = label != ignore_index
     lab = jnp.where(valid, label, 0).astype(jnp.int32)
-    ce = -jnp.take_along_axis(logp, lab[..., None], axis=-1)[..., 0]
+    # gather-free label pick (see models/segmentation.py::nll_from_logprobs)
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, logp.shape, logp.ndim - 1)
+              == lab[..., None])
+    ce = -jnp.sum(jnp.where(onehot, logp, 0.0), axis=-1)
     ce = jnp.where(valid, ce, 0.0).reshape(-1)
     srt = jnp.sort(ce)[::-1]
     th = -jnp.log(jnp.float32(thresh))
