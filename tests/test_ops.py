@@ -108,3 +108,17 @@ def test_flowwarp_matches_reference_formula(mode):
 
     ours = np.asarray(flowwarp(jnp.asarray(x), jnp.asarray(flow), mode=mode))
     np.testing.assert_allclose(ours, to_nhwc(ref), rtol=1e-4, atol=1e-5)
+
+
+def test_grid_sample_onehot_path_matches_gather():
+    """The MXU one-hot-matmul warp fast path == the gather path (both
+    modes, OOB coords included)."""
+    from cvpr2021_vspw_implement_tpu.ops.warp import flowwarp, grid_sample
+    rng = np.random.default_rng(17)
+    x = jnp.asarray(rng.standard_normal((2, 9, 11, 160)).astype(np.float32))
+    grid = jnp.asarray(rng.uniform(-1.4, 1.4, (2, 7, 8, 2)).astype(np.float32))
+    for mode in ("bilinear", "nearest"):
+        a = grid_sample(x, grid, mode=mode, onehot=False)
+        b = grid_sample(x, grid, mode=mode, onehot=True)
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-5, atol=1e-5)
