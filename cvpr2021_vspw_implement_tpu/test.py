@@ -160,6 +160,8 @@ def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
 
 
 def main():
+    from .utils.misc import honor_platform_env
+    honor_platform_env()
     args = build_eval_parser().parse_args()
     cfg = default_cfg.clone()
     cfg.merge_from_file(args.cfg)

@@ -365,6 +365,8 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
 
 
 def main():
+    from .utils.misc import honor_platform_env
+    honor_platform_env()
     args = build_eval_clip_parser().parse_args()
     from .config.args import postprocess_args
     postprocess_args(args)

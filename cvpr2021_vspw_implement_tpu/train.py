@@ -118,6 +118,10 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
     total_steps = 0
     from .parallel.mesh import device_prefetch
     with mesh:
+        # tensor-parallel param placement via the shared path rules
+        # (parallel/sharding.py); replicates everything when mesh_model == 1
+        from .parallel import shard_tree
+        state = shard_tree(state, mesh)
         for epoch in range(start_epoch, args.totalepoch):
             tic = time.time()
             for i, batch in enumerate(device_prefetch(iter(loader), mesh)):
@@ -155,6 +159,8 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
 
 
 def main():
+    from .utils.misc import honor_platform_env
+    honor_platform_env()
     parser = build_train_parser()
     args = parser.parse_args()
     postprocess_args(args)

@@ -74,6 +74,10 @@ def train_clip(cfg, args, logger=None, max_steps: int | None = None):
     from jax.sharding import PartitionSpec as P
     from .parallel.mesh import device_prefetch
     with mesh:
+        # tensor-parallel param placement via the shared path rules
+        # (parallel/sharding.py); replicates everything when mesh_model == 1
+        from .parallel import shard_tree
+        state = shard_tree(state, mesh)
         for epoch in range(start_epoch, args.totalepoch):
             tic = time.time()
             # clip time axis stays local; batch axis shards over 'data';
@@ -112,6 +116,8 @@ def train_clip(cfg, args, logger=None, max_steps: int | None = None):
 
 
 def main():
+    from .utils.misc import honor_platform_env
+    honor_platform_env()
     parser = build_train_clip_parser()
     args = parser.parse_args()
     postprocess_args(args)

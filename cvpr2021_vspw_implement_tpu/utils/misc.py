@@ -125,3 +125,23 @@ def parse_devices(input_devices: str) -> list[str]:
             continue
         raise NotSupportedCliException(f'Can not recognize device: "{d}"')
     return ret
+
+
+def honor_platform_env() -> None:
+    """Respect an explicit JAX_PLATFORMS env var in the CLI drivers.
+
+    This image's sitecustomize registers the axon TPU plugin and pins
+    ``jax_platforms`` programmatically AFTER env-var processing, so
+    ``JAX_PLATFORMS=cpu python -m ...train`` would still claim the TPU.
+    Drivers call this before touching jax.devices() (e.g. to run on a
+    virtual multi-device CPU mesh via xla_force_host_platform_device_count).
+    """
+    import os
+
+    env = os.environ.get("JAX_PLATFORMS")
+    if env:
+        try:
+            import jax
+            jax.config.update("jax_platforms", env)
+        except Exception:
+            pass
