@@ -82,6 +82,11 @@ _C.TPU.mesh_model = 1
 _C.TPU.compute_dtype = "bfloat16"
 # rematerialisation of backbone stages to trade FLOPs for HBM
 _C.TPU.remat = True
+# GPipe pipeline over the dilated trunk's homogeneous layer3 tail
+# (models/pipeline.py): number of stages (= mesh 'pipe' axis size; 0 = off)
+# and microbatches per step
+_C.TPU.pipeline_stages = 0
+_C.TPU.pipeline_micro = 1
 # host->device prefetch depth of the input pipeline
 _C.TPU.prefetch = 2
 

@@ -20,7 +20,9 @@ def _build_clip_psp(cfg, args, dtype):
     from .models.clip_psp import ClipPSP, clip_psp_loss
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
-                                     remat=cfg.TPU.remat, args=args)
+                                     remat=cfg.TPU.remat, args=args,
+                                     pipeline_stages=cfg.TPU.pipeline_stages,
+                                     pipeline_micro=cfg.TPU.pipeline_micro)
     model = ClipPSP(encoder=enc, num_class=args.num_class,
                     fc_dim=cfg.MODEL.fc_dim,
                     psp_weight=getattr(args, "psp_weight", False), dtype=dtype)
@@ -32,7 +34,9 @@ def _build_clip_ocr(cfg, args, dtype):
     from .models.clip_ocr import ClipOCRNet, clip_ocr_loss
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
-                                     remat=cfg.TPU.remat, args=args)
+                                     remat=cfg.TPU.remat, args=args,
+                                     pipeline_stages=cfg.TPU.pipeline_stages,
+                                     pipeline_micro=cfg.TPU.pipeline_micro)
     model = ClipOCRNet(encoder=enc, num_class=args.num_class,
                        clipocr_all=getattr(args, "clipocr_all", False),
                        dtype=dtype)
@@ -46,7 +50,9 @@ def _build_netwarp(cfg, args, dtype, ocr: bool = False):
     assert args.clip_num == 2, "netwarp needs clip_num=2 (netwarp.py:91)"
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
-                                     remat=cfg.TPU.remat, args=args)
+                                     remat=cfg.TPU.remat, args=args,
+                                     pipeline_stages=cfg.TPU.pipeline_stages,
+                                     pipeline_micro=cfg.TPU.pipeline_micro)
     model = NetWarp(encoder=enc, num_class=args.num_class,
                     fc_dim=cfg.MODEL.fc_dim, ocr=ocr, dtype=dtype)
     loss = partial(netwarp_loss, deep_sup_scale=args.deepsup_scale, ocr=ocr)
@@ -59,7 +65,9 @@ def _build_etc(cfg, args, dtype, ocr: bool = False):
         "ETC needs clip_num=2, dilation_num=0 (ETC.py:70)"
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
-                                     remat=cfg.TPU.remat, args=args)
+                                     remat=cfg.TPU.remat, args=args,
+                                     pipeline_stages=cfg.TPU.pipeline_stages,
+                                     pipeline_micro=cfg.TPU.pipeline_micro)
     model = ETC(encoder=enc, num_class=args.num_class,
                 fc_dim=cfg.MODEL.fc_dim, ocr=ocr, dtype=dtype)
     loss = partial(etc_loss, deep_sup_scale=args.deepsup_scale,
@@ -71,7 +79,9 @@ def _build_our_warp(cfg, args, dtype):
     from .models.warp_our import ClipWarpNet, clip_warp_loss
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
-                                     remat=cfg.TPU.remat, args=args)
+                                     remat=cfg.TPU.remat, args=args,
+                                     pipeline_stages=cfg.TPU.pipeline_stages,
+                                     pipeline_micro=cfg.TPU.pipeline_micro)
     model = ClipWarpNet(encoder=enc, num_class=args.num_class,
                         fc_dim=cfg.MODEL.fc_dim, args=args, dtype=dtype)
     loss = partial(clip_warp_loss, deep_sup_scale=args.deepsup_scale,
@@ -84,7 +94,9 @@ def _build_propnet(cfg, args, dtype):
     from .models.propnet import PropNet, propnet_loss
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
-                                     remat=cfg.TPU.remat, args=args)
+                                     remat=cfg.TPU.remat, args=args,
+                                     pipeline_stages=cfg.TPU.pipeline_stages,
+                                     pipeline_micro=cfg.TPU.pipeline_micro)
     model = PropNet(encoder=enc, num_class=args.num_class,
                     fc_dim=cfg.MODEL.fc_dim, args=args, dtype=dtype)
     loss = partial(propnet_loss, deep_sup_scale=args.deepsup_scale)
@@ -95,7 +107,9 @@ def _build_warp_merge(cfg, args, dtype):
     from .models.warp_our_merge import OurWarpMerge, warp_merge_loss
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
-                                     remat=cfg.TPU.remat, args=args)
+                                     remat=cfg.TPU.remat, args=args,
+                                     pipeline_stages=cfg.TPU.pipeline_stages,
+                                     pipeline_micro=cfg.TPU.pipeline_micro)
     model = OurWarpMerge(encoder=enc, num_class=args.num_class,
                          fc_dim=cfg.MODEL.fc_dim, args=args, dtype=dtype)
     loss = partial(warp_merge_loss, deep_sup_scale=args.deepsup_scale)
@@ -106,7 +120,9 @@ def _build_nonlocal3d(cfg, args, dtype):
     from .models.nonlocal3d import NonLocal3D, nonlocal3d_loss
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
-                                     remat=cfg.TPU.remat, args=args)
+                                     remat=cfg.TPU.remat, args=args,
+                                     pipeline_stages=cfg.TPU.pipeline_stages,
+                                     pipeline_micro=cfg.TPU.pipeline_micro)
     model = NonLocal3D(encoder=enc, num_class=args.num_class,
                        fc_dim=cfg.MODEL.fc_dim, dtype=dtype)
     return model, nonlocal3d_loss

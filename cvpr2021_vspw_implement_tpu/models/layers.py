@@ -77,7 +77,7 @@ class BatchNorm2d(nn.Module):
     bias_init: Callable = nn.initializers.zeros
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stat_weight=None):
         scale = self.param("scale", self.scale_init, (self.features,), jnp.float32)
         bias = self.param("bias", self.bias_init, (self.features,), jnp.float32)
         ra_mean = self.variable("batch_stats", "mean",
@@ -100,8 +100,13 @@ class BatchNorm2d(nn.Module):
                 n = n * jax.lax.psum(1, self.axis_name)
             if not self.is_initializing():
                 unbiased = var * (n / max(n - 1, 1))
-                ra_mean.value = (1 - self.momentum) * ra_mean.value + self.momentum * mean
-                ra_var.value = (1 - self.momentum) * ra_var.value + self.momentum * unbiased
+                # stat_weight (traced scalar in [0,1]) scales the running-stat
+                # update: the GPipe engine zeroes it on pipeline-bubble ticks
+                # so warmup/drain garbage never leaks into running stats.
+                mom = (self.momentum if stat_weight is None
+                       else self.momentum * stat_weight)
+                ra_mean.value = (1 - mom) * ra_mean.value + mom * mean
+                ra_var.value = (1 - mom) * ra_var.value + mom * unbiased
         else:
             mean = ra_mean.value
             var = ra_var.value
@@ -109,6 +114,95 @@ class BatchNorm2d(nn.Module):
         inv = jax.lax.rsqrt(var + self.eps) * scale
         y = x.astype(jnp.float32) * inv + (bias - mean * inv)
         return y.astype(self.dtype or x.dtype)
+
+
+class _ConvParams(nn.Module):
+    """Owns kernel/bias under the same names/paths as ``nn.Conv`` so
+    TapConv-based modules stay checkpoint-compatible with Conv-based ones."""
+
+    kshape: tuple
+    features: int
+    use_bias: bool
+    kernel_init: Callable
+
+    @nn.compact
+    def __call__(self):
+        kernel = self.param("kernel", self.kernel_init, self.kshape,
+                            jnp.float32)
+        bias = (self.param("bias", nn.initializers.zeros, (self.features,),
+                           jnp.float32) if self.use_bias else None)
+        return kernel, bias
+
+
+class TapConv(nn.Module):
+    """Drop-in replacement for ``Conv`` (identical params: <name>/conv/kernel)
+    that computes the convolution as a sum of per-tap ``einsum`` contractions
+    instead of ``conv_general_dilated``.
+
+    Two reasons to exist:
+      * the GPipe engine (models/pipeline.py) vmaps blocks over the stacked
+        pipeline-stage axis, and the XLA SPMD partitioner miscompiles
+        *vmapped* convolutions on some backends (reproduced on CPU jaxlib:
+        a single vmapped 1x1 conv with the kernel sharded on the vmapped
+        axis returns wrong values) — batched dot_generals partition
+        correctly;
+      * per-tap contractions are plain [N*H*W, Cin] x [Cin, Cout] matmuls —
+        the exact MXU shape — with the same total FLOPs as the conv.
+
+    Same accumulation count as the conv (taps summed in f32), so numerics
+    match Conv to float tolerance.
+    """
+
+    features: int
+    kernel_size: int | Sequence[int] = 3
+    stride: int = 1
+    padding: int = 0
+    dilation: int = 1
+    groups: int = 1
+    use_bias: bool = True
+    dtype: Dtype | None = None
+    kernel_init: Callable = kaiming_normal_fan_in
+
+    @nn.compact
+    def __call__(self, x):
+        kh, kw = (self.kernel_size,) * 2 if isinstance(self.kernel_size, int)\
+            else tuple(self.kernel_size)
+        cin = x.shape[-1]
+        kernel, bias = _ConvParams(
+            (kh, kw, cin // self.groups, self.features), self.features,
+            self.use_bias, self.kernel_init, name="conv")()
+        dt = self.dtype or x.dtype
+        xf = x.astype(dt)
+        kf = kernel.astype(dt)
+        p, d, s = self.padding, self.dilation, self.stride
+        if p:
+            xf = jnp.pad(xf, ((0, 0), (p, p), (p, p), (0, 0)))
+        H = (x.shape[1] + 2 * p - d * (kh - 1) - 1) // s + 1
+        W = (x.shape[2] + 2 * p - d * (kw - 1) - 1) // s + 1
+        out = None
+        for ky in range(kh):
+            for kx in range(kw):
+                xs = jax.lax.slice(
+                    xf, (0, ky * d, kx * d, 0),
+                    (xf.shape[0], ky * d + (H - 1) * s + 1,
+                     kx * d + (W - 1) * s + 1, cin),
+                    (1, s, s, 1))
+                if self.groups == 1:
+                    t = jnp.einsum("nhwi,io->nhwo", xs, kf[ky, kx],
+                                   preferred_element_type=jnp.float32)
+                else:
+                    g = self.groups
+                    xg = xs.reshape(*xs.shape[:3], g, cin // g)
+                    kg = kf[ky, kx].reshape(cin // g, g,
+                                            self.features // g)
+                    t = jnp.einsum("nhwgi,gio->nhwgo", xg,
+                                   kg.transpose(1, 0, 2),
+                                   preferred_element_type=jnp.float32)
+                    t = t.reshape(*t.shape[:3], self.features)
+                out = t if out is None else out + t
+        if bias is not None:
+            out = out + bias
+        return out.astype(dt)
 
 
 class ConvBNReLU(nn.Module):

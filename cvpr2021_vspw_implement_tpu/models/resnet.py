@@ -34,30 +34,34 @@ class BasicBlock(nn.Module):
     first_dilation: int | None = None  # dilation of the (formerly) strided conv
     has_downsample: bool = False
     groups: int = 1
+    conv_cls: type = Conv     # TapConv under the GPipe engine (layers.py)
     dtype: Any = None
 
     expansion = 1
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stat_weight=None):
         fd = self.first_dilation or self.dilation
         residual = x
-        out = Conv(self.planes, 3, self.stride, padding=fd, dilation=fd,
+        out = self.conv_cls(self.planes, 3, self.stride, padding=fd, dilation=fd,
                    use_bias=False, dtype=self.dtype,
                    kernel_init=kaiming_normal_fan_out, name="conv1")(x)
-        out = BatchNorm2d(self.planes, dtype=self.dtype, name="bn1")(out, train)
+        out = BatchNorm2d(self.planes, dtype=self.dtype,
+                          name="bn1")(out, train, stat_weight)
         out = nn.relu(out)
-        out = Conv(self.planes, 3, 1, padding=self.dilation,
+        out = self.conv_cls(self.planes, 3, 1, padding=self.dilation,
                    dilation=self.dilation, use_bias=False, dtype=self.dtype,
                    kernel_init=kaiming_normal_fan_out, name="conv2")(out)
-        out = BatchNorm2d(self.planes, dtype=self.dtype, name="bn2")(out, train)
+        out = BatchNorm2d(self.planes, dtype=self.dtype,
+                          name="bn2")(out, train, stat_weight)
         if self.has_downsample:
-            residual = Conv(self.planes, 1, self.stride, use_bias=False,
+            residual = self.conv_cls(self.planes, 1, self.stride, use_bias=False,
                             dtype=self.dtype,
                             kernel_init=kaiming_normal_fan_out,
                             name="downsample_conv")(x)
             residual = BatchNorm2d(self.planes, dtype=self.dtype,
-                                   name="downsample_bn")(residual, train)
+                                   name="downsample_bn")(residual, train,
+                                                         stat_weight)
         return nn.relu(out + residual)
 
 
@@ -68,36 +72,41 @@ class Bottleneck(nn.Module):
     first_dilation: int | None = None
     has_downsample: bool = False
     groups: int = 1                    # >1 → ResNeXt GroupBottleneck
+    conv_cls: type = Conv     # TapConv under the GPipe engine (layers.py)
     dtype: Any = None
 
     expansion = 4
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, stat_weight=None):
         fd = self.first_dilation or self.dilation
         out_planes = self.planes * self.expansion
         residual = x
-        out = Conv(self.planes, 1, 1, use_bias=False, dtype=self.dtype,
+        out = self.conv_cls(self.planes, 1, 1, use_bias=False, dtype=self.dtype,
                    kernel_init=kaiming_normal_fan_out, name="conv1")(x)
-        out = BatchNorm2d(self.planes, dtype=self.dtype, name="bn1")(out, train)
+        out = BatchNorm2d(self.planes, dtype=self.dtype,
+                          name="bn1")(out, train, stat_weight)
         out = nn.relu(out)
         # the 3x3 conv carries stride in torchvision-style ResNet; when the
         # stage is dilated the stride collapses to 1 and fd takes over.
-        out = Conv(self.planes, 3, self.stride, padding=fd, dilation=fd,
+        out = self.conv_cls(self.planes, 3, self.stride, padding=fd, dilation=fd,
                    groups=self.groups, use_bias=False, dtype=self.dtype,
                    kernel_init=kaiming_normal_fan_out, name="conv2")(out)
-        out = BatchNorm2d(self.planes, dtype=self.dtype, name="bn2")(out, train)
+        out = BatchNorm2d(self.planes, dtype=self.dtype,
+                          name="bn2")(out, train, stat_weight)
         out = nn.relu(out)
-        out = Conv(out_planes, 1, 1, use_bias=False, dtype=self.dtype,
+        out = self.conv_cls(out_planes, 1, 1, use_bias=False, dtype=self.dtype,
                    kernel_init=kaiming_normal_fan_out, name="conv3")(out)
-        out = BatchNorm2d(out_planes, dtype=self.dtype, name="bn3")(out, train)
+        out = BatchNorm2d(out_planes, dtype=self.dtype,
+                          name="bn3")(out, train, stat_weight)
         if self.has_downsample:
-            residual = Conv(out_planes, 1, self.stride, use_bias=False,
+            residual = self.conv_cls(out_planes, 1, self.stride, use_bias=False,
                             dtype=self.dtype,
                             kernel_init=kaiming_normal_fan_out,
                             name="downsample_conv")(x)
             residual = BatchNorm2d(out_planes, dtype=self.dtype,
-                                   name="downsample_bn")(residual, train)
+                                   name="downsample_bn")(residual, train,
+                                                         stat_weight)
         return nn.relu(out + residual)
 
 
@@ -117,6 +126,11 @@ class ResNetFeatures(nn.Module):
     groups: int = 1
     stage_planes: Sequence[int] = (64, 128, 256, 512)
     remat: bool = False
+    # GPipe pipeline over layer3's homogeneous tail blocks (models/pipeline.py):
+    # stage params shard over the mesh 'pipe' axis, microbatches flow via
+    # collective-permute.  0 = off.
+    pipeline_stages: int = 0
+    pipeline_micro: int = 1
     dtype: Any = None
 
     @nn.compact
@@ -156,7 +170,10 @@ class ResNetFeatures(nn.Module):
         inplanes = 128
         for stage in range(4):
             planes = self.stage_planes[stage]
-            for b in range(self.layers[stage]):
+            pipelined_tail = (self.pipeline_stages > 0 and stage == 2
+                              and self.layers[stage] > 1)
+            n_blocks = 1 if pipelined_tail else self.layers[stage]
+            for b in range(n_blocks):
                 first = b == 0
                 x = block_cls(
                     planes=planes,
@@ -169,6 +186,18 @@ class ResNetFeatures(nn.Module):
                     groups=self.groups,
                     dtype=dt,
                     name=f"layer{stage + 1}_{b}",
+                )(x, train)
+            if pipelined_tail:
+                from .pipeline import PipelinedBlocks
+                x = PipelinedBlocks(
+                    block=block_cls,
+                    n_blocks=self.layers[stage] - 1,
+                    n_stages=self.pipeline_stages,
+                    n_micro=self.pipeline_micro,
+                    block_kwargs={"planes": planes, "stride": 1,
+                                  "dilation": dilations[stage],
+                                  "groups": self.groups, "dtype": dt},
+                    name=f"layer{stage + 1}_pipe",
                 )(x, train)
             inplanes = planes * self.block.expansion
             conv_out.append(x)

@@ -50,6 +50,20 @@ def make_seq_mesh(n_data: int, n_seq: int, n_model: int = 1,
     return Mesh(arr, ("data", "seq", "model"))
 
 
+def make_pipe_mesh(n_data: int, n_pipe: int, n_model: int = 1,
+                   devices=None) -> Mesh:
+    """3-axis mesh (data, pipe, model): 'pipe' carries the GPipe stages of
+    the deep trunk (models/pipeline.py) — stage weights/activations shard
+    over it and the inter-stage shift rides ICI as a collective-permute."""
+    devices = list(devices if devices is not None else jax.devices())
+    n = n_data * n_pipe * n_model
+    assert n <= len(devices), (
+        f"mesh ({n_data}x{n_pipe}x{n_model}) needs {n} devices, "
+        f"have {len(devices)}")
+    arr = np.array(devices[:n]).reshape(n_data, n_pipe, n_model)
+    return Mesh(arr, ("data", "pipe", "model"))
+
+
 def make_mesh(n_data: int = -1, n_model: int = 1,
               devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

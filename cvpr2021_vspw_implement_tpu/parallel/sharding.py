@@ -48,14 +48,24 @@ TP_OUT_CHANNEL_PATTERNS = (
 
 _TP_RE = re.compile("|".join(TP_OUT_CHANNEL_PATTERNS))
 
+#: stacked GPipe stage params (models/pipeline.py): leading axis = pipeline
+#: stage, sharded over 'pipe' so each device holds only its stage's weights.
+_PIPE_RE = re.compile(r"_pipe/stages/block\d+/")
 
-def tp_spec(path: str, shape, n_model: int) -> P | None:
+
+def tp_spec(path: str, shape, n_model: int, n_pipe: int = 1) -> P | None:
     """PartitionSpec for a param at ``path`` with ``shape``, or None to
-    replicate.  Out-channel (last dim) sharding only, gated on
-    divisibility."""
+    replicate.  Pipeline-stacked leaves shard their leading (stage) axis on
+    'pipe'; wide head kernels shard their out-channel (last) dim on 'model';
+    both gated on divisibility."""
+    pipe = (n_pipe > 1 and _PIPE_RE.search(path) and len(shape) >= 1
+            and shape[0] % n_pipe == 0)
     if n_model > 1 and _TP_RE.search(path) and len(shape) >= 1 \
             and shape[-1] % n_model == 0:
-        return P(*([None] * (len(shape) - 1)), "model")
+        return P("pipe" if pipe else None,
+                 *([None] * (len(shape) - 2)), "model")
+    if pipe:
+        return P("pipe", *([None] * (len(shape) - 1)))
     return None
 
 
@@ -64,18 +74,22 @@ def _join_path(path) -> str:
                     for k in path)
 
 
-def shard_tree(tree, mesh: Mesh, n_model: int | None = None):
+def shard_tree(tree, mesh: Mesh, n_model: int | None = None,
+               n_pipe: int | None = None):
     """device_put every leaf of ``tree`` (params, TrainState, opt state...)
-    with the TP rules applied; everything unmatched is replicated.
+    with the TP/pipeline rules applied; everything unmatched is replicated.
 
     Works on any pytree whose leaf paths embed the param paths (TrainState
     included: optimizer momentum entries match via substring search)."""
+    axis_sizes = dict(zip(mesh.axis_names, mesh.devices.shape))
     if n_model is None:
-        n_model = dict(zip(mesh.axis_names, mesh.devices.shape)).get(
-            "model", 1)
+        n_model = axis_sizes.get("model", 1)
+    if n_pipe is None:
+        n_pipe = axis_sizes.get("pipe", 1)
 
     def put(path, x):
-        spec = tp_spec(_join_path(path), getattr(x, "shape", ()), n_model)
+        spec = tp_spec(_join_path(path), getattr(x, "shape", ()), n_model,
+                       n_pipe)
         return jax.device_put(x, NamedSharding(mesh, spec if spec else P()))
 
     return jax.tree_util.tree_map_with_path(put, tree)

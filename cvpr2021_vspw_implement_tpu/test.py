@@ -113,6 +113,11 @@ def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
                 {c: {"decoder": v} for c, v in imported.items()})
             logger.info(f"imported torch decoder {args.torch_dec}")
 
+    # checkpoints written by a GPipe-pipelined trainer store the trunk's
+    # tail blocks stacked; eval runs the standard layout (exact conversion)
+    from .models.pipeline import maybe_unpipeline
+    variables = maybe_unpipeline(variables)
+
     @jax.jit
     def infer(img):
         outs = model.apply(variables, img, train=False)

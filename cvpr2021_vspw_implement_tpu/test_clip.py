@@ -159,6 +159,11 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
                 dict(variables), FUSED_IMPORTERS[args.method](sd))
             logger.info(f"imported fused torch checkpoint {args.torch_load}")
 
+    # checkpoints written by a GPipe-pipelined trainer store the trunk's
+    # tail blocks stacked; eval runs the standard layout (exact conversion)
+    from .models.pipeline import maybe_unpipeline
+    variables = maybe_unpipeline(variables)
+
     if use_memory:
         @jax.jit
         def infer(imgs, memory):

@@ -31,7 +31,9 @@ from .utils.checkpoint import save_checkpoint
 def build_model(cfg, args, dtype=None):
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
-                                     remat=cfg.TPU.remat, args=args)
+                                     remat=cfg.TPU.remat, args=args,
+                                     pipeline_stages=cfg.TPU.pipeline_stages,
+                                     pipeline_micro=cfg.TPU.pipeline_micro)
     dec = ModelBuilder.build_decoder(cfg.MODEL.arch_decoder,
                                      fc_dim=cfg.MODEL.fc_dim,
                                      num_class=args.num_class, dtype=dtype)
@@ -100,9 +102,16 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
     n_data = cfg.TPU.mesh_data
     if n_data in (-1, 0):
         from .parallel.mesh import auto_data_axis
-        n_data = auto_data_axis(args.batchsize,
-                                len(jax.devices()) // cfg.TPU.mesh_model)
-    mesh = make_mesh(n_data, cfg.TPU.mesh_model)
+        n_pipe = max(cfg.TPU.pipeline_stages, 1)
+        n_data = auto_data_axis(
+            args.batchsize,
+            len(jax.devices()) // (cfg.TPU.mesh_model * n_pipe))
+    if cfg.TPU.pipeline_stages > 1:
+        from .parallel.mesh import make_pipe_mesh
+        mesh = make_pipe_mesh(n_data, cfg.TPU.pipeline_stages,
+                              cfg.TPU.mesh_model)
+    else:
+        mesh = make_mesh(n_data, cfg.TPU.mesh_model)
     step_fn = make_train_step(
         model, tx, deep_sup_scale=cfg.TRAIN.deep_sup_scale)
 

@@ -60,9 +60,16 @@ def train_clip(cfg, args, logger=None, max_steps: int | None = None):
 
     n_data = cfg.TPU.mesh_data
     if n_data in (-1, 0):
-        n_data = auto_data_axis(args.batchsize,
-                                len(jax.devices()) // cfg.TPU.mesh_model)
-    mesh = make_mesh(n_data, cfg.TPU.mesh_model)
+        n_pipe = max(cfg.TPU.pipeline_stages, 1)
+        n_data = auto_data_axis(
+            args.batchsize,
+            len(jax.devices()) // (cfg.TPU.mesh_model * n_pipe))
+    if cfg.TPU.pipeline_stages > 1:
+        from .parallel.mesh import make_pipe_mesh
+        mesh = make_pipe_mesh(n_data, cfg.TPU.pipeline_stages,
+                              cfg.TPU.mesh_model)
+    else:
+        mesh = make_mesh(n_data, cfg.TPU.mesh_model)
     # tdnet rotates its 4 paths with pos_id = step % 4 (train_clip2.py:93-94)
     static_kwarg = "pos_id" if args.method == "tdnet" else None
     step_fn = make_train_step(model, tx, loss_fn=loss_fn,
