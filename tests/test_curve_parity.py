@@ -235,3 +235,183 @@ def test_clip_psp_curve_matches_reference(no_dropout):
 
     np.testing.assert_allclose(our_losses, ref_losses, rtol=2e-3)
     assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
+
+
+def test_netwarp_curve_matches_reference(no_dropout, tmp_path, monkeypatch):
+    """NetWarp: frozen-RAFT flow inside the step, FlowCNN refinement, warped
+    blends, 4-group SGD (RAFT excluded from every group, reference
+    netwarp.py:116-149) — the per-step losses must track the reference."""
+    from test_fused_numeric import (_build_jax_encoder, _ref_encoder,
+                                    _stage_raft_ckpt)
+
+    _stage_raft_ckpt(tmp_path, monkeypatch)
+    ref_nw = _ref_import("models.netwarp")
+    mm = _ref_import("models.models")
+    args = argparse.Namespace(num_class=K, clip_num=2)
+    dec = mm.ModelBuilder.build_decoder("ppm_deepsup_clip", fc_dim=2048,
+                                        num_class=K)
+    tmodel = ref_nw.NetWarp(_ref_encoder(), dec,
+                            torch.nn.NLLLoss(ignore_index=255), args,
+                            deep_sup_scale=0.4)
+    _randomize(tmodel, seed=65)
+    _zero_torch_dropout(tmodel)
+    tmodel.train()
+
+    train_params = [
+        {"params": tmodel.get_1x_lr_params(), "lr": LR * 0.1,
+         "weight_decay": WD},
+        {"params": tmodel.get_10x_lr_params(), "lr": LR, "weight_decay": WD},
+        {"params": tmodel.get_1x_lr_params_bias(), "lr": LR * 0.1,
+         "weight_decay": 0},
+        {"params": tmodel.get_10x_lr_params_bias(), "lr": LR,
+         "weight_decay": 0},
+    ]
+    opt = torch.optim.SGD(train_params, lr=LR, momentum=MOM,
+                          weight_decay=WD)
+
+    rng = np.random.default_rng(66)
+    b, hw = 2, 128  # RAFT pyramid needs >=2x2 at H/64
+    batches = []
+    for _ in range(STEPS):
+        imgs = rng.standard_normal((2, b, hw, hw, 3)).astype(np.float32)
+        labs = rng.integers(0, K, (2, b, hw, hw)).astype(np.int32)
+        labs[:, :, 0, 0] = 255  # exercise ignore_index
+        batches.append((imgs, labs))
+
+    ref_losses = []
+    for i, (imgs, labs) in enumerate(batches):
+        lr_i = LR * _poly(i)
+        for gi, g in enumerate(opt.param_groups):
+            g["lr"] = lr_i * (0.1 if gi in (0, 2) else 1.0)
+        feed = {
+            "img_data": torch.from_numpy(imgs[-1].transpose(0, 3, 1, 2)),
+            "clipimgs_data": [torch.from_numpy(
+                imgs[0].transpose(0, 3, 1, 2))],
+            "seg_label": torch.from_numpy(
+                labs[-1].astype(np.float32))[:, None],
+        }
+        loss, _acc = tmodel(feed)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_netwarp_state_dict)
+    from cvpr2021_vspw_implement_tpu.models.netwarp import (
+        NetWarp, netwarp_loss)
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+
+    variables = import_netwarp_state_dict(tmodel.state_dict())
+    model = NetWarp(encoder=_build_jax_encoder(), num_class=K, fc_dim=2048,
+                    raft_iters=20)
+    tx = create_clip_optimizer(variables["params"], lr=LR,
+                               max_iters=MAX_ITERS, momentum=MOM,
+                               weight_decay=WD)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(model, tx, loss_fn=netwarp_loss, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for imgs, labs in batches:
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(imgs), "labels": jnp.asarray(labs)},
+            key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
+
+
+def test_etc_curve_matches_reference(no_dropout, tmp_path, monkeypatch):
+    """ETC: frozen-RAFT flow, ST-consistency MSE with the occlusion mask,
+    two-frame batch-concat forward (reference ETC.py:120-181)."""
+    from functools import partial
+
+    from test_fused_numeric import (_build_jax_encoder, _ref_encoder,
+                                    _stage_raft_ckpt)
+
+    _stage_raft_ckpt(tmp_path, monkeypatch)
+    ref_etc = _ref_import("models.ETC")
+    mm = _ref_import("models.models")
+    args = argparse.Namespace(num_class=K, clip_num=2, dilation_num=0,
+                              st_weight=1.0)
+    dec = mm.ModelBuilder.build_decoder("ppm_deepsup_clip", fc_dim=2048,
+                                        num_class=K)
+    tmodel = ref_etc.ETC(_ref_encoder(), dec,
+                         torch.nn.NLLLoss(ignore_index=255), args,
+                         deep_sup_scale=0.4)
+    _randomize(tmodel, seed=67)
+    _zero_torch_dropout(tmodel)
+    tmodel.train()
+
+    train_params = [
+        {"params": tmodel.get_1x_lr_params(), "lr": LR * 0.1,
+         "weight_decay": WD},
+        {"params": tmodel.get_10x_lr_params(), "lr": LR, "weight_decay": WD},
+        {"params": tmodel.get_1x_lr_params_bias(), "lr": LR * 0.1,
+         "weight_decay": 0},
+        {"params": tmodel.get_10x_lr_params_bias(), "lr": LR,
+         "weight_decay": 0},
+    ]
+    opt = torch.optim.SGD(train_params, lr=LR, momentum=MOM,
+                          weight_decay=WD)
+
+    rng = np.random.default_rng(68)
+    b, hw = 2, 128
+    batches = []
+    for _ in range(STEPS):
+        imgs = rng.standard_normal((2, b, hw, hw, 3)).astype(np.float32)
+        labs = rng.integers(0, K, (2, b, hw, hw)).astype(np.int32)
+        labs[:, :, 0, 0] = 255
+        batches.append((imgs, labs))
+
+    ref_losses = []
+    for i, (imgs, labs) in enumerate(batches):
+        lr_i = LR * _poly(i)
+        for gi, g in enumerate(opt.param_groups):
+            g["lr"] = lr_i * (0.1 if gi in (0, 2) else 1.0)
+        feed = {
+            "img_data": torch.from_numpy(imgs[-1].transpose(0, 3, 1, 2)),
+            "clipimgs_data": [torch.from_numpy(
+                imgs[0].transpose(0, 3, 1, 2))],
+            "seg_label": torch.from_numpy(
+                labs[-1].astype(np.float32))[:, None],
+        }
+        loss, _acc = tmodel(feed)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    from cvpr2021_vspw_implement_tpu.models.etc import ETC, etc_loss
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_etc_state_dict)
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+
+    variables = import_etc_state_dict(tmodel.state_dict())
+    model = ETC(encoder=_build_jax_encoder(), num_class=K, fc_dim=2048)
+    tx = create_clip_optimizer(variables["params"], lr=LR,
+                               max_iters=MAX_ITERS, momentum=MOM,
+                               weight_decay=WD)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(model, tx,
+                              loss_fn=partial(etc_loss, st_weight=1.0),
+                              donate=False)
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for imgs, labs in batches:
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(imgs), "labels": jnp.asarray(labs)},
+            key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
