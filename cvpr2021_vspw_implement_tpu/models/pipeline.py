@@ -42,6 +42,7 @@ from typing import Any
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 from flax.core import freeze, unfreeze
 
@@ -175,12 +176,18 @@ def stack_pipeline_params(tree, prefix: str, n_tail: int, n_stages: int,
             for j in range(k):
                 per_stage = [d[f"{prefix}_{p * k + j + 1}"]
                              for p in range(n_stages)]
+                # host-side numpy stack: the converters run on checkpoint
+                # pytrees and must not dispatch device ops (the axon TPU
+                # tunnel makes per-leaf device ops pathologically slow)
                 blocks[f"block{j}"] = jax.tree_util.tree_map(
-                    lambda *xs: jnp.stack(xs), *per_stage)
+                    lambda *xs: np.stack([np.asarray(x) for x in xs]),
+                    *per_stage)
             out[pipe_name] = {"stages": blocks}
             return out
         return {key: convert(v) for key, v in d.items()}
 
+    if not isinstance(tree, dict) and not hasattr(tree, "unfreeze"):
+        return tree
     was_frozen = hasattr(tree, "unfreeze")
     res = convert(unfreeze(tree) if was_frozen else dict(tree))
     return freeze(res) if was_frozen else res
@@ -200,11 +207,15 @@ def unstack_pipeline_params(tree, prefix: str, n_tail: int, n_stages: int,
             blocks = d[pipe_name]["stages"]
             for p in range(n_stages):
                 for j in range(k):
-                    out[f"{prefix}_{p * k + j + 1}"] = jax.tree_util.tree_map(
-                        lambda x: x[p], blocks[f"block{j}"])
+                    out[f"{prefix}_{p * k + j + 1}"] = \
+                        jax.tree_util.tree_map(
+                            lambda x, _p=p: np.asarray(x)[_p],
+                            blocks[f"block{j}"])
             return out
         return {key: convert(v) for key, v in d.items()}
 
+    if not isinstance(tree, dict) and not hasattr(tree, "unfreeze"):
+        return tree
     was_frozen = hasattr(tree, "unfreeze")
     res = convert(unfreeze(tree) if was_frozen else dict(tree))
     return freeze(res) if was_frozen else res

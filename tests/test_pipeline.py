@@ -189,3 +189,44 @@ def test_tapconv_matches_conv(kw):
     assert y1.shape == y2.shape
     np.testing.assert_allclose(np.asarray(y1), np.asarray(y2),
                                rtol=1e-5, atol=1e-5)
+
+
+def test_convert_ckpt_tool_roundtrip(base_vars, tmp_path):
+    """tools/convert_ckpt round-trips a full TrainState checkpoint
+    (params + batch_stats + optimizer momentum) exactly, auto-detecting
+    the tail length, and refuses nonsense directions."""
+    import flax.serialization as ser
+
+    from cvpr2021_vspw_implement_tpu.parallel import TrainState
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+    from cvpr2021_vspw_implement_tpu.tools import convert_ckpt
+
+    tx = create_clip_optimizer(base_vars["params"], lr=0.01, max_iters=10)
+    state = TrainState.create(base_vars, tx)
+    src = tmp_path / "flat.msgpack"
+    with open(src, "wb") as f:
+        f.write(ser.msgpack_serialize(ser.to_state_dict(state)))
+
+    piped = tmp_path / "piped.msgpack"
+    convert_ckpt.main(["--input", str(src), "--output", str(piped),
+                       "--stack", str(P_STAGES)])
+    back = tmp_path / "back.msgpack"
+    convert_ckpt.main(["--input", str(piped), "--output", str(back),
+                       "--unstack"])
+
+    a = ser.msgpack_restore(open(src, "rb").read())
+    b = ser.msgpack_restore(open(back, "rb").read())
+    la = jax.tree_util.tree_leaves_with_path(a)
+    lb = dict(jax.tree_util.tree_leaves_with_path(b))
+    assert len(la) == len(lb)
+    for k, v in la:
+        np.testing.assert_array_equal(np.asarray(v), np.asarray(lb[k]))
+
+    # piped checkpoint really is stacked (params + momentum)
+    p = ser.msgpack_restore(open(piped, "rb").read())
+    assert "layer3_pipe" in p["params"]
+    with pytest.raises(SystemExit):
+        convert_ckpt.main(["--input", str(piped), "--output",
+                           str(tmp_path / "x.msgpack"),
+                           "--stack", str(P_STAGES)])
