@@ -80,8 +80,11 @@ _C.TPU.mesh_model = 1
 # compute dtype for conv/matmul activations ("bfloat16" or "float32");
 # parameters and loss stay float32.
 _C.TPU.compute_dtype = "bfloat16"
-# rematerialisation of backbone stages to trade FLOPs for HBM
-_C.TPU.remat = True
+# rematerialisation of backbone stages to trade FLOPs for HBM.  Measured on
+# v5e at the reference recipe shape (R101, 4x2x479x479): remat costs ~8%
+# step time and is NOT needed for memory even at twice the per-chip batch,
+# so it defaults off; enable for larger crops/batches that overflow HBM.
+_C.TPU.remat = False
 # GPipe pipeline over the dilated trunk's homogeneous layer3 tail
 # (models/pipeline.py): number of stages (= mesh 'pipe' axis size; 0 = off)
 # and microbatches per step
