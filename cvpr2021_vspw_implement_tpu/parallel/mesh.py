@@ -64,6 +64,43 @@ def make_pipe_mesh(n_data: int, n_pipe: int, n_model: int = 1,
     return Mesh(arr, ("data", "pipe", "model"))
 
 
+def make_pod_mesh(n_data: int = -1, n_seq: int = 1, n_model: int = 1,
+                  n_pipe: int = 1, devices=None) -> Mesh:
+    """DCN-aware 4-axis mesh (data, seq, model, pipe) for pods/multi-slice.
+
+    Layout policy (scaling-book recipe): only the 'data' axis crosses the
+    DCN boundary — gradient all-reduces are latency-tolerant and
+    overlappable — while seq/model/pipe collectives (KB-scale psums,
+    head-channel all-gathers, the pipeline's per-tick collective-permute)
+    stay inside one slice's ICI domain.  On multi-granule topologies this
+    uses ``mesh_utils.create_hybrid_device_mesh`` (data across granules);
+    single-host/single-slice runs fall back to ``create_device_mesh``,
+    which still orders devices for ICI-contiguous inner axes.
+    """
+    from jax.experimental import mesh_utils
+
+    devices = list(devices if devices is not None else jax.devices())
+    inner = n_seq * n_model * n_pipe
+    if n_data in (-1, 0):
+        n_data = len(devices) // inner
+    shape = (n_data, n_seq, n_model, n_pipe)
+    n = n_data * inner
+    assert n <= len(devices), (
+        f"mesh {shape} needs {n} devices, have {len(devices)}")
+    devices = devices[:n]
+    n_granules = len({getattr(d, "process_index", 0) for d in devices})
+    if n_granules > 1 and n_data % n_granules == 0:
+        arr = mesh_utils.create_hybrid_device_mesh(
+            (n_data // n_granules, n_seq, n_model, n_pipe),
+            (n_granules, 1, 1, 1), devices=devices)
+    else:
+        try:
+            arr = mesh_utils.create_device_mesh(shape, devices=devices)
+        except Exception:  # odd shapes on virtual devices
+            arr = np.array(devices).reshape(shape)
+    return Mesh(arr, ("data", "seq", "model", "pipe"))
+
+
 def make_mesh(n_data: int = -1, n_model: int = 1,
               devices=None) -> Mesh:
     devices = list(devices if devices is not None else jax.devices())

