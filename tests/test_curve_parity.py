@@ -415,3 +415,212 @@ def test_etc_curve_matches_reference(no_dropout, tmp_path, monkeypatch):
 
     np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
     assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
+
+
+def test_our_warp_curve_matches_reference(no_dropout):
+    """ClipWarpNet (our_warp, distsoftmax + allsup): local cost volumes,
+    temperature-softmax label propagation, allsup+deepsup loss chain
+    (reference models/models.py:183-267)."""
+    import argparse as _ap
+    from functools import partial
+
+    from test_fused_numeric import _build_jax_encoder, _ref_encoder
+
+    mm = _ref_import("models.models")
+    args = _ap.Namespace(num_class=K, clip_num=3, fix=False,
+                         max_distances=[2], linear_combine=False,
+                         distsoftmax=True, distnearest=False, temp=3.0,
+                         allsup=True, allsup_scale=0.3)
+    dec = mm.ModelBuilder.build_decoder("ppm_deepsup_clip", fc_dim=2048,
+                                        num_class=K)
+    tmodel = mm.ClipWarpNet(_ref_encoder(), dec,
+                            torch.nn.NLLLoss(ignore_index=255), args,
+                            deep_sup_scale=0.4)
+    _randomize(tmodel, seed=69)
+    _zero_torch_dropout(tmodel)
+    tmodel.train()
+
+    train_params = [
+        {"params": tmodel.get_1x_lr_params(), "lr": LR * 0.1,
+         "weight_decay": WD},
+        {"params": tmodel.get_10x_lr_params(), "lr": LR, "weight_decay": WD},
+        {"params": tmodel.get_1x_lr_params_bias(), "lr": LR * 0.1,
+         "weight_decay": 0},
+        {"params": tmodel.get_10x_lr_params_bias(), "lr": LR,
+         "weight_decay": 0},
+    ]
+    opt = torch.optim.SGD(train_params, lr=LR, momentum=MOM,
+                          weight_decay=WD)
+
+    rng = np.random.default_rng(70)
+    t1, b, hw = 3, 2, 48
+    batches = []
+    for _ in range(STEPS):
+        imgs = rng.standard_normal((t1, b, hw, hw, 3)).astype(np.float32)
+        labs = rng.integers(0, K, (t1, b, hw, hw)).astype(np.int32)
+        labs[:, :, 0, 0] = 255
+        batches.append((imgs, labs))
+
+    ref_losses = []
+    for i, (imgs, labs) in enumerate(batches):
+        lr_i = LR * _poly(i)
+        for gi, g in enumerate(opt.param_groups):
+            g["lr"] = lr_i * (0.1 if gi in (0, 2) else 1.0)
+        feed = {
+            "img_data": torch.from_numpy(imgs[-1].transpose(0, 3, 1, 2)),
+            "clipimgs_data": [torch.from_numpy(f.transpose(0, 3, 1, 2))
+                              for f in imgs[:-1]],
+            "seg_label": torch.from_numpy(
+                labs[-1].astype(np.float32))[:, None],
+            "cliplabels_data": [torch.from_numpy(
+                l.astype(np.float32))[:, None] for l in labs[:-1]],
+        }
+        loss, _acc = tmodel(feed)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_clip_warp_state_dict)
+    from cvpr2021_vspw_implement_tpu.models.warp_our import (
+        ClipWarpNet, clip_warp_loss)
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+
+    variables = import_clip_warp_state_dict(tmodel.state_dict())
+    model = ClipWarpNet(encoder=_build_jax_encoder(), num_class=K,
+                        fc_dim=2048, args=args)
+    tx = create_clip_optimizer(variables["params"], lr=LR,
+                               max_iters=MAX_ITERS, momentum=MOM,
+                               weight_decay=WD)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(
+        model, tx,
+        loss_fn=partial(clip_warp_loss, allsup=True, allsup_scale=0.3),
+        donate=False)
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for imgs, labs in batches:
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(imgs), "labels": jnp.asarray(labs)},
+            key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
+
+
+def _warp_family_curve(ref_module, ref_cls_name, dec_arch, import_fn_name,
+                       our_module, our_cls_name, our_loss_name, seed,
+                       loss_kwargs=None):
+    """Shared harness: 3 seeded SGD steps of a reference warp-family model
+    vs our jitted step (same template as the named tests above)."""
+    import argparse as _ap
+    import importlib
+    from functools import partial
+
+    from test_fused_numeric import _build_jax_encoder, _ref_encoder
+
+    ref_mod = _ref_import(ref_module)
+    mm = _ref_import("models.models")
+    args = _ap.Namespace(num_class=K, clip_num=3, fix=False,
+                         max_distances=[2], linear_combine=False,
+                         distsoftmax=False, distnearest=False, temp=3.0,
+                         allsup=False, allsup_scale=0.3)  # CLI default
+    dec = mm.ModelBuilder.build_decoder(dec_arch, fc_dim=2048, num_class=K)
+    tmodel = getattr(ref_mod, ref_cls_name)(
+        _ref_encoder(), dec, torch.nn.NLLLoss(ignore_index=255), args,
+        deep_sup_scale=0.4)
+    _randomize(tmodel, seed=seed)
+    _zero_torch_dropout(tmodel)
+    tmodel.train()
+
+    opt = torch.optim.SGD([
+        {"params": tmodel.get_1x_lr_params(), "lr": LR * 0.1,
+         "weight_decay": WD},
+        {"params": tmodel.get_10x_lr_params(), "lr": LR, "weight_decay": WD},
+        {"params": tmodel.get_1x_lr_params_bias(), "lr": LR * 0.1,
+         "weight_decay": 0},
+        {"params": tmodel.get_10x_lr_params_bias(), "lr": LR,
+         "weight_decay": 0},
+    ], lr=LR, momentum=MOM, weight_decay=WD)
+
+    rng = np.random.default_rng(seed + 1)
+    t1, b, hw = 3, 2, 48
+    batches = []
+    for _ in range(STEPS):
+        imgs = rng.standard_normal((t1, b, hw, hw, 3)).astype(np.float32)
+        labs = rng.integers(0, K, (t1, b, hw, hw)).astype(np.int32)
+        labs[:, :, 0, 0] = 255
+        batches.append((imgs, labs))
+
+    ref_losses = []
+    for i, (imgs, labs) in enumerate(batches):
+        lr_i = LR * _poly(i)
+        for gi, g in enumerate(opt.param_groups):
+            g["lr"] = lr_i * (0.1 if gi in (0, 2) else 1.0)
+        feed = {
+            "img_data": torch.from_numpy(imgs[-1].transpose(0, 3, 1, 2)),
+            "clipimgs_data": [torch.from_numpy(f.transpose(0, 3, 1, 2))
+                              for f in imgs[:-1]],
+            "seg_label": torch.from_numpy(
+                labs[-1].astype(np.float32))[:, None],
+            "cliplabels_data": [torch.from_numpy(
+                l.astype(np.float32))[:, None] for l in labs[:-1]],
+        }
+        loss, _acc = tmodel(feed)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    from cvpr2021_vspw_implement_tpu.models import import_torch as it
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+
+    mod = importlib.import_module(
+        f"cvpr2021_vspw_implement_tpu.models.{our_module}")
+    variables = getattr(it, import_fn_name)(tmodel.state_dict())
+    model = getattr(mod, our_cls_name)(encoder=_build_jax_encoder(),
+                                       num_class=K, fc_dim=2048, args=args)
+    tx = create_clip_optimizer(variables["params"], lr=LR,
+                               max_iters=MAX_ITERS, momentum=MOM,
+                               weight_decay=WD)
+    state = TrainState.create(variables, tx)
+    loss_fn = getattr(mod, our_loss_name)
+    if loss_kwargs:
+        loss_fn = partial(loss_fn, **loss_kwargs)
+    step_fn = make_train_step(model, tx, loss_fn=loss_fn, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for imgs, labs in batches:
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(imgs), "labels": jnp.asarray(labs)},
+            key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
+
+
+def test_propnet_curve_matches_reference(no_dropout):
+    """PropNet: per-step propagation losses averaged + allsup/deepsup term
+    (reference propnet.py:176-237)."""
+    _warp_family_curve("models.propnet", "PropNet", "ppm_deepsup_clip",
+                       "import_propnet_state_dict", "propnet", "PropNet",
+                       "propnet_loss", seed=73)
+
+
+def test_warp_merge_curve_matches_reference(no_dropout):
+    """OurWarpMerge: merged cost-volume propagation, (allsup+deepsup)*scale
+    chain (reference warp_our_merge.py:68-108)."""
+    _warp_family_curve("models.warp_our_merge", "OurWarpMerge", "ppm_clip",
+                       "import_warp_merge_state_dict", "warp_our_merge",
+                       "OurWarpMerge", "warp_merge_loss", seed=75)
