@@ -624,3 +624,87 @@ def test_warp_merge_curve_matches_reference(no_dropout):
     _warp_family_curve("models.warp_our_merge", "OurWarpMerge", "ppm_clip",
                        "import_warp_merge_state_dict", "warp_our_merge",
                        "OurWarpMerge", "warp_merge_loss", seed=75)
+
+
+def test_clip_ocr_curve_matches_reference(no_dropout):
+    """TCB-OCR: SpatialTemporalGather context over the clip, OCR attention,
+    dsn deep supervision on the target frame (reference clip_ocr.py:106-205)."""
+    import argparse as _ap
+
+    from test_fused_numeric import _build_jax_encoder, _ref_encoder
+
+    ref_clip_ocr = _ref_import("models.clip_ocr")
+    args = _ap.Namespace(num_class=K, use_memory=False, clipocr_all=False)
+    tmodel = ref_clip_ocr.ClipOCRNet(_ref_encoder(),
+                                     torch.nn.NLLLoss(ignore_index=255),
+                                     args, deep_sup_scale=0.4)
+    _randomize(tmodel, seed=77)
+    _zero_torch_dropout(tmodel)
+    tmodel.train()
+
+    opt = torch.optim.SGD([
+        {"params": tmodel.get_1x_lr_params(), "lr": LR * 0.1,
+         "weight_decay": WD},
+        {"params": tmodel.get_10x_lr_params(), "lr": LR, "weight_decay": WD},
+        {"params": tmodel.get_1x_lr_params_bias(), "lr": LR * 0.1,
+         "weight_decay": 0},
+        {"params": tmodel.get_10x_lr_params_bias(), "lr": LR,
+         "weight_decay": 0},
+    ], lr=LR, momentum=MOM, weight_decay=WD)
+
+    rng = np.random.default_rng(78)
+    t1, b, hw = 4, 2, 48
+    batches = []
+    for _ in range(STEPS):
+        imgs = rng.standard_normal((t1, b, hw, hw, 3)).astype(np.float32)
+        labs = rng.integers(0, K, (t1, b, hw, hw)).astype(np.int32)
+        labs[:, :, 0, 0] = 255
+        batches.append((imgs, labs))
+
+    ref_losses = []
+    for i, (imgs, labs) in enumerate(batches):
+        lr_i = LR * _poly(i)
+        for gi, g in enumerate(opt.param_groups):
+            g["lr"] = lr_i * (0.1 if gi in (0, 2) else 1.0)
+        feed = {
+            "img_data": torch.from_numpy(imgs[-1].transpose(0, 3, 1, 2)),
+            "clipimgs_data": [torch.from_numpy(f.transpose(0, 3, 1, 2))
+                              for f in imgs[:-1]],
+            "seg_label": torch.from_numpy(
+                labs[-1].astype(np.float32))[:, None],
+            "cliplabels_data": [torch.from_numpy(
+                l.astype(np.float32))[:, None] for l in labs[:-1]],
+        }
+        loss, _acc = tmodel(feed)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    from cvpr2021_vspw_implement_tpu.models.clip_ocr import (
+        ClipOCRNet, clip_ocr_loss)
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_clip_ocr_state_dict)
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+
+    variables = import_clip_ocr_state_dict(tmodel.state_dict())
+    model = ClipOCRNet(encoder=_build_jax_encoder(), num_class=K)
+    tx = create_clip_optimizer(variables["params"], lr=LR,
+                               max_iters=MAX_ITERS, momentum=MOM,
+                               weight_decay=WD)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(model, tx, loss_fn=clip_ocr_loss, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for imgs, labs in batches:
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(imgs), "labels": jnp.asarray(labs)},
+            key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
