@@ -13,6 +13,7 @@ schedule, loss order) is exercised exactly.
 """
 
 import argparse
+import copy
 import os
 import sys
 
@@ -101,6 +102,9 @@ def test_frame_psp_curve_matches_reference(no_dropout):
     rng = np.random.default_rng(62)
     batches = _frame_batches(rng, STEPS, 2, 48, 48)
 
+    # snapshot BEFORE training: our side must start from the same init
+    sd_enc0 = copy.deepcopy(enc.state_dict())
+    sd_dec0 = copy.deepcopy(dec.state_dict())
     ref_losses = []
     for i, (img, lab) in enumerate(batches):
         for opt in (opt_e, opt_d):
@@ -126,8 +130,8 @@ def test_frame_psp_curve_matches_reference(no_dropout):
     from cvpr2021_vspw_implement_tpu.parallel.optim import (
         create_frame_optimizer)
 
-    enc_v = import_resnet_state_dict(enc.state_dict())
-    dec_v = import_ppm_decoder_state_dict(dec.state_dict(), deepsup=True)
+    enc_v = import_resnet_state_dict(sd_enc0)
+    dec_v = import_ppm_decoder_state_dict(sd_dec0, deepsup=True)
     variables = {c: {"encoder": enc_v[c], "decoder": dec_v[c]}
                  for c in ("params", "batch_stats")}
     model = SegmentationModule(
@@ -184,6 +188,7 @@ def test_clip_psp_curve_matches_reference(no_dropout):
         labs = rng.integers(0, K, (t1, b, hw, hw)).astype(np.int32)
         batches.append((imgs, labs))
 
+    sd0 = copy.deepcopy(tmodel.state_dict())  # pre-training snapshot
     ref_losses = []
     for i, (imgs, labs) in enumerate(batches):
         lr_i = LR * _poly(i)
@@ -216,7 +221,7 @@ def test_clip_psp_curve_matches_reference(no_dropout):
     from cvpr2021_vspw_implement_tpu.parallel.optim import (
         create_clip_optimizer)
 
-    variables = import_clip_psp_state_dict(tmodel.state_dict())
+    variables = import_clip_psp_state_dict(sd0)
     model = ClipPSP(encoder=ModelBuilder.build_encoder("resnet50dilated"),
                     num_class=K, fc_dim=2048)
     tx = create_clip_optimizer(variables["params"], lr=LR,
@@ -278,6 +283,7 @@ def test_netwarp_curve_matches_reference(no_dropout, tmp_path, monkeypatch):
         labs[:, :, 0, 0] = 255  # exercise ignore_index
         batches.append((imgs, labs))
 
+    sd0 = copy.deepcopy(tmodel.state_dict())  # pre-training snapshot
     ref_losses = []
     for i, (imgs, labs) in enumerate(batches):
         lr_i = LR * _poly(i)
@@ -305,7 +311,7 @@ def test_netwarp_curve_matches_reference(no_dropout, tmp_path, monkeypatch):
     from cvpr2021_vspw_implement_tpu.parallel.optim import (
         create_clip_optimizer)
 
-    variables = import_netwarp_state_dict(tmodel.state_dict())
+    variables = import_netwarp_state_dict(sd0)
     model = NetWarp(encoder=_build_jax_encoder(), num_class=K, fc_dim=2048,
                     raft_iters=20)
     tx = create_clip_optimizer(variables["params"], lr=LR,
@@ -369,6 +375,7 @@ def test_etc_curve_matches_reference(no_dropout, tmp_path, monkeypatch):
         labs[:, :, 0, 0] = 255
         batches.append((imgs, labs))
 
+    sd0 = copy.deepcopy(tmodel.state_dict())  # pre-training snapshot
     ref_losses = []
     for i, (imgs, labs) in enumerate(batches):
         lr_i = LR * _poly(i)
@@ -395,7 +402,7 @@ def test_etc_curve_matches_reference(no_dropout, tmp_path, monkeypatch):
     from cvpr2021_vspw_implement_tpu.parallel.optim import (
         create_clip_optimizer)
 
-    variables = import_etc_state_dict(tmodel.state_dict())
+    variables = import_etc_state_dict(sd0)
     model = ETC(encoder=_build_jax_encoder(), num_class=K, fc_dim=2048)
     tx = create_clip_optimizer(variables["params"], lr=LR,
                                max_iters=MAX_ITERS, momentum=MOM,
@@ -461,6 +468,7 @@ def test_our_warp_curve_matches_reference(no_dropout):
         labs[:, :, 0, 0] = 255
         batches.append((imgs, labs))
 
+    sd0 = copy.deepcopy(tmodel.state_dict())  # pre-training snapshot
     ref_losses = []
     for i, (imgs, labs) in enumerate(batches):
         lr_i = LR * _poly(i)
@@ -490,7 +498,7 @@ def test_our_warp_curve_matches_reference(no_dropout):
     from cvpr2021_vspw_implement_tpu.parallel.optim import (
         create_clip_optimizer)
 
-    variables = import_clip_warp_state_dict(tmodel.state_dict())
+    variables = import_clip_warp_state_dict(sd0)
     model = ClipWarpNet(encoder=_build_jax_encoder(), num_class=K,
                         fc_dim=2048, args=args)
     tx = create_clip_optimizer(variables["params"], lr=LR,
@@ -558,6 +566,7 @@ def _warp_family_curve(ref_module, ref_cls_name, dec_arch, import_fn_name,
         labs[:, :, 0, 0] = 255
         batches.append((imgs, labs))
 
+    sd0 = copy.deepcopy(tmodel.state_dict())  # pre-training snapshot
     ref_losses = []
     for i, (imgs, labs) in enumerate(batches):
         lr_i = LR * _poly(i)
@@ -586,7 +595,7 @@ def _warp_family_curve(ref_module, ref_cls_name, dec_arch, import_fn_name,
 
     mod = importlib.import_module(
         f"cvpr2021_vspw_implement_tpu.models.{our_module}")
-    variables = getattr(it, import_fn_name)(tmodel.state_dict())
+    variables = getattr(it, import_fn_name)(sd0)
     model = getattr(mod, our_cls_name)(encoder=_build_jax_encoder(),
                                        num_class=K, fc_dim=2048, args=args)
     tx = create_clip_optimizer(variables["params"], lr=LR,
@@ -661,6 +670,7 @@ def test_clip_ocr_curve_matches_reference(no_dropout):
         labs[:, :, 0, 0] = 255
         batches.append((imgs, labs))
 
+    sd0 = copy.deepcopy(tmodel.state_dict())  # pre-training snapshot
     ref_losses = []
     for i, (imgs, labs) in enumerate(batches):
         lr_i = LR * _poly(i)
@@ -690,13 +700,184 @@ def test_clip_ocr_curve_matches_reference(no_dropout):
     from cvpr2021_vspw_implement_tpu.parallel.optim import (
         create_clip_optimizer)
 
-    variables = import_clip_ocr_state_dict(tmodel.state_dict())
+    variables = import_clip_ocr_state_dict(sd0)
     model = ClipOCRNet(encoder=_build_jax_encoder(), num_class=K)
     tx = create_clip_optimizer(variables["params"], lr=LR,
                                max_iters=MAX_ITERS, momentum=MOM,
                                weight_decay=WD)
     state = TrainState.create(variables, tx)
     step_fn = make_train_step(model, tx, loss_fn=clip_ocr_loss, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for imgs, labs in batches:
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(imgs), "labels": jnp.asarray(labs)},
+            key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
+
+
+def test_td4_curve_matches_reference(no_dropout):
+    """TDNet td4_psp: rotating 4-path forward (pos_id = step % 4), sliced
+    PSP + attention chain, OHEM main+0.5*sub+0.1*aux loss (reference
+    td4_psp.py:552-577, train_clip2.py:94,263-267)."""
+    import argparse as _ap
+
+    ref_td4 = _ref_import("models.td4_psp.td4_psp")
+    ref_loss = _ref_import("models.td4_psp.loss")
+
+    hw = 48
+    cropsize = hw - 1  # int(cropsize/8)+1 == hw/8 feature size
+    b = 2
+    # match our td4_loss's n_min (computed from the actual label size)
+    n_min = b * hw * hw // 16
+    args = _ap.Namespace(num_class=K, cropsize=cropsize, fix=False)
+    torch.manual_seed(0)
+    loss_fn_t = ref_loss.OhemCELoss2D(thresh=0.7, n_min=n_min,
+                                      ignore_index=255)
+    tmodel = ref_td4.td4_psp(args=args, backbone="resnet18",
+                             loss_fn=loss_fn_t)
+    _randomize(tmodel, seed=79)
+    _zero_torch_dropout(tmodel)
+    tmodel.train()
+
+    opt = torch.optim.SGD([
+        {"params": tmodel.get_1x_lr_params(), "lr": LR * 0.1,
+         "weight_decay": WD},
+        {"params": tmodel.get_10x_lr_params(), "lr": LR, "weight_decay": WD},
+        {"params": tmodel.get_1x_lr_params_bias(), "lr": LR * 0.1,
+         "weight_decay": 0},
+        {"params": tmodel.get_10x_lr_params_bias(), "lr": LR,
+         "weight_decay": 0},
+    ], lr=LR, momentum=MOM, weight_decay=WD)
+
+    rng = np.random.default_rng(80)
+    batches = []
+    for _ in range(4):  # one step per path
+        imgs = rng.standard_normal((4, b, hw, hw, 3)).astype(np.float32)
+        labs = rng.integers(0, K, (4, b, hw, hw)).astype(np.int32)
+        labs[:, :, 0, 0] = 255
+        batches.append((imgs, labs))
+
+    sd0 = copy.deepcopy(tmodel.state_dict())  # pre-training snapshot
+    ref_losses = []
+    for i, (imgs, labs) in enumerate(batches):
+        lr_i = LR * _poly(i)
+        for gi, g in enumerate(opt.param_groups):
+            g["lr"] = lr_i * (0.1 if gi in (0, 2) else 1.0)
+        feed = {
+            "clipimgs_data": [torch.from_numpy(f.transpose(0, 3, 1, 2))
+                              for f in imgs],
+            "cliplabels_data": [torch.from_numpy(
+                l.astype(np.float32))[:, None] for l in labs],
+        }
+        loss, _acc = tmodel(feed, pos_id=i % 4)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_td4_state_dict)
+    from cvpr2021_vspw_implement_tpu.models.td4_psp import TD4PSP, td4_loss
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+
+    variables = import_td4_state_dict(sd0)
+    model = TD4PSP(num_class=K, cropsize=cropsize)
+    tx = create_clip_optimizer(variables["params"], lr=LR,
+                               max_iters=MAX_ITERS, momentum=MOM,
+                               weight_decay=WD)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(model, tx, loss_fn=td4_loss, donate=False,
+                              static_kwarg="pos_id")
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for i, (imgs, labs) in enumerate(batches):
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(imgs), "labels": jnp.asarray(labs)},
+            key, i % 4)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
+
+
+def test_nonlocal3d_curve_matches_reference(no_dropout):
+    """Non_local3d: 3D non-local block over the clip, mean of per-frame
+    NLLs (reference non_local_models.py:19-62)."""
+    import argparse as _ap
+
+    from test_fused_numeric import _build_jax_encoder, _ref_encoder
+
+    ref_nl = _ref_import("models.non_local_models")
+    args = _ap.Namespace(num_class=K)
+    tmodel = ref_nl.Non_local3d(args, _ref_encoder(),
+                                torch.nn.NLLLoss(ignore_index=255))
+    _randomize(tmodel, seed=81)
+    _zero_torch_dropout(tmodel)
+    tmodel.train()
+
+    opt = torch.optim.SGD([
+        {"params": tmodel.get_1x_lr_params(), "lr": LR * 0.1,
+         "weight_decay": WD},
+        {"params": tmodel.get_10x_lr_params(), "lr": LR, "weight_decay": WD},
+        {"params": tmodel.get_1x_lr_params_bias(), "lr": LR * 0.1,
+         "weight_decay": 0},
+        {"params": tmodel.get_10x_lr_params_bias(), "lr": LR,
+         "weight_decay": 0},
+    ], lr=LR, momentum=MOM, weight_decay=WD)
+
+    rng = np.random.default_rng(82)
+    t, b, hw = 3, 2, 48
+    batches = []
+    for _ in range(STEPS):
+        imgs = rng.standard_normal((t, b, hw, hw, 3)).astype(np.float32)
+        labs = rng.integers(0, K, (t, b, hw, hw)).astype(np.int32)
+        labs[:, :, 0, 0] = 255
+        batches.append((imgs, labs))
+
+    sd0 = copy.deepcopy(tmodel.state_dict())  # pre-training snapshot
+    ref_losses = []
+    for i, (imgs, labs) in enumerate(batches):
+        lr_i = LR * _poly(i)
+        for gi, g in enumerate(opt.param_groups):
+            g["lr"] = lr_i * (0.1 if gi in (0, 2) else 1.0)
+        feed = {
+            "clipimgs_data": [torch.from_numpy(f.transpose(0, 3, 1, 2))
+                              for f in imgs],
+            "cliplabels_data": [torch.from_numpy(
+                l.astype(np.float32))[:, None] for l in labs],
+        }
+        loss, _acc = tmodel(feed)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_nonlocal3d_state_dict)
+    from cvpr2021_vspw_implement_tpu.models.nonlocal3d import (
+        NonLocal3D, nonlocal3d_loss)
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+
+    variables = import_nonlocal3d_state_dict(sd0)
+    model = NonLocal3D(encoder=_build_jax_encoder(), num_class=K)
+    tx = create_clip_optimizer(variables["params"], lr=LR,
+                               max_iters=MAX_ITERS, momentum=MOM,
+                               weight_decay=WD)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(model, tx, loss_fn=nonlocal3d_loss,
+                              donate=False)
 
     key = jax.random.PRNGKey(0)
     our_losses = []

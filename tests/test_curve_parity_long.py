@@ -6,6 +6,7 @@ running stats, SGD momentum and the poly-LR schedule must stay within
 0.5% per step over the longer horizon.
 """
 
+import copy
 import os
 import sys
 
@@ -69,6 +70,8 @@ def test_frame_psp_curve_matches_reference_10_steps(no_dropout):
     rng = np.random.default_rng(72)
     batches = _frame_batches(rng, STEPS_LONG, 2, 48, 48)
 
+    sd_enc0 = copy.deepcopy(enc.state_dict())
+    sd_dec0 = copy.deepcopy(dec.state_dict())
     ref_losses = []
     for i, (img, lab) in enumerate(batches):
         for opt in (opt_e, opt_d):
@@ -93,8 +96,8 @@ def test_frame_psp_curve_matches_reference_10_steps(no_dropout):
     from cvpr2021_vspw_implement_tpu.parallel.optim import (
         create_frame_optimizer)
 
-    enc_v = import_resnet_state_dict(enc.state_dict())
-    dec_v = import_ppm_decoder_state_dict(dec.state_dict(), deepsup=True)
+    enc_v = import_resnet_state_dict(sd_enc0)
+    dec_v = import_ppm_decoder_state_dict(sd_dec0, deepsup=True)
     variables = {c: {"encoder": enc_v[c], "decoder": dec_v[c]}
                  for c in ("params", "batch_stats")}
     model = SegmentationModule(
