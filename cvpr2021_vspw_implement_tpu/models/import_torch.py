@@ -1081,3 +1081,63 @@ def merge_variables(init_vars: dict, imported: dict) -> dict:
             merged[coll] = jax.tree_util.tree_map(jax.numpy.asarray,
                                                   imported[coll])
     return merged
+
+
+def import_convlstm_head_state_dict(state_dict) -> dict:
+    """Conv_LSTM_Model temporal head (reference: models/models.py:283-312 —
+    embed, convlstm.cell_list.0.{conv,conv_concat}, last_layer) → flax
+    variables for models.biconvlstm.ConvLSTMModel.
+
+    The reference runs ONE cell for both directions (BiConvLSTM.py:109-127);
+    our BiConvLSTM shares the same single cell, so the mapping is direct.
+    """
+    params = {}
+    for name, tensor in state_dict.items():
+        name = name.removeprefix("module.").removeprefix("prop_clip.")
+        t = np.asarray(tensor.detach().cpu().numpy()
+                       if hasattr(tensor, "detach") else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if parts[0] == "embed":
+            _emit_conv(params, ["embed"], leaf, t)
+        elif parts[0] == "convlstm":
+            # convlstm.cell_list.0.{conv,conv_concat}.{weight,bias}
+            _emit_conv(params, ["convlstm", "cell", parts[3]], leaf, t)
+        elif parts[0] == "last_layer":
+            _emit_conv(params, ["last_layer"], leaf, t)
+    return {"params": params}
+
+
+def import_nonlocal_clip_head_state_dict(state_dict) -> dict:
+    """Non_local temporal head (reference: models/models.py:315-341 — emb,
+    nonlocalblock.{g,theta,phi,W_z.{0,1}}, last_layer) → flax variables for
+    models.biconvlstm.NonLocalClipHead."""
+    params, stats = {}, {}
+
+    def dense_kernel(w):
+        return w.reshape(w.shape[0], w.shape[1]).T
+
+    for name, tensor in state_dict.items():
+        name = name.removeprefix("module.").removeprefix("prop_clip.")
+        t = np.asarray(tensor.detach().cpu().numpy()
+                       if hasattr(tensor, "detach") else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] in ("emb", "last_layer"):
+            _emit_conv(params, [parts[0]], leaf, t)
+        elif parts[0] == "nonlocalblock":
+            if parts[1] in ("g", "theta", "phi"):
+                _set(params, ["nonlocalblock", parts[1],
+                              "kernel" if leaf == "weight" else "bias"],
+                     dense_kernel(t) if leaf == "weight" else t)
+            elif parts[1] == "W_z":
+                if parts[2] == "0":
+                    _set(params, ["nonlocalblock", "W_z",
+                                  "kernel" if leaf == "weight" else "bias"],
+                         dense_kernel(t) if leaf == "weight" else t)
+                else:
+                    _emit_bn(params, stats, ["nonlocalblock", "W_z_bn"],
+                             leaf, t)
+    return {"params": params, "batch_stats": stats}
