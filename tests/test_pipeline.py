@@ -230,3 +230,35 @@ def test_convert_ckpt_tool_roundtrip(base_vars, tmp_path):
         convert_ckpt.main(["--input", str(piped), "--output",
                            str(tmp_path / "x.msgpack"),
                            "--stack", str(P_STAGES)])
+
+
+def test_r101_scale_pipeline():
+    """The real flagship shape: ResNet-101's 22-block layer3 tail pipelined
+    (P=2 here; P=11 validated on an 11-device mesh — same code path) against
+    the unpipelined trunk on a (data, pipe) mesh."""
+    if len(jax.devices()) < 4:
+        pytest.skip("needs 4 virtual devices")
+    from jax.sharding import NamedSharding, PartitionSpec as P
+    from cvpr2021_vspw_implement_tpu.parallel import shard_tree
+    from cvpr2021_vspw_implement_tpu.parallel.mesh import make_pipe_mesh
+
+    base = resnet.resnet101(dilate_scale=8)
+    pipe = resnet.resnet101(dilate_scale=8, pipeline_stages=2,
+                            pipeline_micro=2)
+    x = _x(2, 32, seed=5)
+    vb = jax.jit(lambda: base.init({"params": jax.random.PRNGKey(0)},
+                                   jnp.zeros((1, 32, 32, 3)),
+                                   train=False))()
+    vp = pipeline_variables(vb, n_tail=22, n_stages=2)
+    yb = jax.jit(lambda v, x: base.apply(v, x, train=False)[-1])(vb, x)
+    mesh = make_pipe_mesh(2, 2, devices=jax.devices()[:4])
+    with mesh:
+        vp_sh = shard_tree(vp, mesh)
+        k = vp_sh["params"]["layer3_pipe"]["stages"]["block0"]["conv1"][
+            "conv"]["kernel"]
+        assert k.shape[0] == 2 and "pipe" in str(k.sharding.spec)
+        xs = jax.device_put(x, NamedSharding(mesh, P("data")))
+        yp = jax.jit(lambda v, x: pipe.apply(v, x, train=False)[-1])(
+            vp_sh, xs)
+        np.testing.assert_allclose(np.asarray(yp), np.asarray(yb),
+                                   rtol=5e-3, atol=5e-3)
