@@ -1141,3 +1141,23 @@ def import_nonlocal_clip_head_state_dict(state_dict) -> dict:
                     _emit_bn(params, stats, ["nonlocalblock", "W_z_bn"],
                              leaf, t)
     return {"params": params, "batch_stats": stats}
+
+
+def import_hrnet_clip_state_dict(state_dict) -> dict:
+    """torch HRNetV2_clip state_dict (reference: models/hrnet_clip.py:297-475
+    — plain HRNet trunk names + ``time_atten.conv1``) → flax variables for
+    models.hrnet_clip.HRNetV2Clip (same stem/stages layout as HRNetV2, plus
+    the TimeAtten 1x1 fuse conv)."""
+    trunk = {k: v for k, v in state_dict.items()
+             if not k.removeprefix("module.").startswith("time_atten.")}
+    out = import_hrnet_state_dict(trunk)
+    params = out["params"]
+    for name, tensor in state_dict.items():
+        name = name.removeprefix("module.")
+        if not name.startswith("time_atten."):
+            continue
+        t = np.asarray(tensor.detach().cpu().numpy()
+                       if hasattr(tensor, "detach") else tensor)
+        leaf = name.split(".")[-1]
+        _emit_conv(params, ["time_atten", "conv1"], leaf, t)
+    return out

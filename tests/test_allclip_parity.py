@@ -94,3 +94,42 @@ def test_nonlocal_clip_head_numeric_parity():
             np.asarray(ours[f]),
             ref_outs[f].numpy().transpose(0, 2, 3, 1),
             rtol=1e-4, atol=1e-4)
+
+
+def test_hrnet_clip_numeric_parity():
+    """HRNetV2_clip encoder: frozen-stem context path + TimeAtten early
+    fusion (reference hrnet_clip.py:438-475) — forward parity from imported
+    weights.  (No reference driver instantiates SegmentationModule_clip, so
+    the encoder forward is the whole trainable surface.)"""
+    import argparse
+
+    from cvpr2021_vspw_implement_tpu.models.hrnet_clip import HRNetV2Clip
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_hrnet_clip_state_dict)
+
+    ref_hc = _ref_import("models.hrnet_clip")
+    args = argparse.Namespace(clip_middle=True, clip_up=False)
+    torch.manual_seed(2)
+    tmodel = ref_hc.HRNetV2_clip(n_class=1000, args=args)
+    _randomize(tmodel, seed=35)
+    tmodel.eval()
+
+    t, b, h, w = 2, 1, 64, 64
+    rng = np.random.default_rng(36)
+    c_img = rng.standard_normal((b, h, w, 3)).astype(np.float32)
+    clips = rng.standard_normal((t, b, h, w, 3)).astype(np.float32)
+    with torch.no_grad():
+        ref_out = tmodel(torch.from_numpy(c_img.transpose(0, 3, 1, 2)),
+                         [torch.from_numpy(f.transpose(0, 3, 1, 2))
+                          for f in clips], is_train=False)
+
+    imported = import_hrnet_clip_state_dict(tmodel.state_dict())
+    model = HRNetV2Clip(args=args)
+    (ours,) = model.apply(imported, jnp.asarray(c_img), jnp.asarray(clips),
+                          train=False)
+
+    ref_np = (ref_out[0] if isinstance(ref_out, (list, tuple))
+              else ref_out).numpy().transpose(0, 2, 3, 1)
+    assert ours.shape == ref_np.shape
+    np.testing.assert_allclose(np.asarray(ours), ref_np,
+                               rtol=1e-3, atol=1e-3)
