@@ -209,6 +209,26 @@ def main():
         pass
     train_mfu = (train_flops / train_dt / peak if train_flops else None)
 
+    # -------- 3b. throughput-optimal per-chip batch (b=4, no remat) --------
+    # the reference recipe is 2/chip; v5e HBM fits 4/chip without remat and
+    # gains ~11% per-sample throughput (see ROADMAP ablation).  Guarded.
+    train_b4_ms_per2 = None
+    try:
+        imgs4 = jnp.concatenate([imgs] * 2, 1)
+        labels4 = jnp.concatenate([labels] * 2, 1)
+        batch4 = {"img": imgs4, "labels": labels4}
+        _, m4 = step_fn(state, batch4, key)
+        float(m4["loss"])
+        b4 = float("inf")
+        for _trial in range(3):
+            start = time.perf_counter()
+            _, m4 = step_fn(state, batch4, key)
+            float(m4["loss"])
+            b4 = min(b4, time.perf_counter() - start)
+        train_b4_ms_per2 = round(b4 * 1e3 / 2, 2)
+    except Exception:
+        pass
+
     # ---------------- 4. NetWarp training step (flow-coupled method) -------
     # frozen 20-iter RAFT + R101 + warps at the reference per-chip shape;
     # exercises the Pallas corr-lookup kernel (ops/pallas/corr.py) inside
@@ -265,6 +285,7 @@ def main():
         "train_step_ms": round(train_dt * 1e3, 2),
         "train_mfu": rnd(train_mfu),
         "train_shape": "T+1=4 x B=2 x 479x479 (run_temporal_psp.sh/chip)",
+        "train_b4_ms_per_2_samples": train_b4_ms_per2,
         "netwarp_train_step_ms": netwarp_ms,
         "device": getattr(dev, "device_kind", str(dev)),
         "peak_tflops_bf16": peak / 1e12,
