@@ -336,6 +336,13 @@ class TestFrameDataset:
         name = self.imglist[idx]
         img, mask = load_frame(self.dataroot, self.video, name,
                                getattr(self.args, "lesslabel", False))
+        if getattr(self.args, "use_720p", False) \
+                and type(self) is TestFrameDataset:
+            # reference quirk kept: only the per-frame TestDataset honors
+            # --use_720p (dataset2.py:130-133); the clip eval datasets
+            # accept the flag but ignore it
+            img = img.resize((1080, 720), Image.BILINEAR)
+            mask = mask.resize((1080, 720), Image.NEAREST)
         arr = normalize_image(np.asarray(img))
         lab = remap_label(np.asarray(mask))
         return arr, lab, os.path.splitext(name)[0] + ".png"

@@ -129,3 +129,27 @@ def test_prefetch_loader_clips_target_last(vspw_root):
     # check dtype/range invariants instead
     assert b["img"].dtype == np.float32
     assert b["labels"].dtype == np.int32
+
+
+def test_use_720p_eval_resize(vspw_root):
+    """--use_720p: the per-frame eval dataset resizes to 1080x720
+    (bilinear img / nearest mask, reference dataset2.py:130-133); the clip
+    eval dataset keeps native size (reference quirk: its datasets accept
+    but ignore the flag)."""
+    import argparse
+
+    from cvpr2021_vspw_implement_tpu.data.datasets import (
+        TestClipDataset, TestFrameDataset, list_videos)
+
+    video = list_videos(vspw_root, "val")[0]
+    args = argparse.Namespace(lesslabel=False, use_720p=True)
+    ds = TestFrameDataset(vspw_root, video, args)
+    arr, lab, _ = ds[0]
+    assert arr.shape[:2] == (720, 1080)
+    assert lab.shape == (720, 1080)
+
+    cargs = argparse.Namespace(lesslabel=False, use_720p=True, clip_num=2,
+                               dilation_num=0, method="")
+    cds = TestClipDataset(vspw_root, video, cargs)
+    carr = cds[0][0]
+    assert carr.shape[:2] != (720, 1080)
