@@ -1161,3 +1161,69 @@ def import_hrnet_clip_state_dict(state_dict) -> dict:
         leaf = name.split(".")[-1]
         _emit_conv(params, ["time_atten", "conv1"], leaf, t)
     return out
+
+
+def import_encoder_by_arch(arch: str, state_dict) -> dict:
+    """Dispatch a torch encoder state_dict to the right importer by arch
+    string (the reference's ``--pre_enc`` / ``--load_en`` checkpoints,
+    train_clip2.py:465,511 / test.py dispatch)."""
+    arch = arch.lower()
+    if arch.startswith("hrnetv2_clip"):
+        return import_hrnet_clip_state_dict(state_dict)
+    if arch.startswith("hrnet"):
+        return import_hrnet_state_dict(state_dict)
+    if arch.startswith("mobilenet"):
+        return import_mobilenet_state_dict(state_dict)
+    return import_resnet_state_dict(state_dict)
+
+
+def import_decoder_by_arch(arch_dec: str, state_dict) -> dict:
+    """Dispatch a torch decoder state_dict by decoder arch string
+    (the reference's ``--pre_dec`` / ``--load_de`` checkpoints)."""
+    arch_dec = arch_dec.lower()
+    if "ocr" in arch_dec:
+        return import_ocr_decoder_state_dict(state_dict)
+    if "deeplab" in arch_dec:
+        return import_deeplab_decoder_state_dict(state_dict)
+    if "upernet" in arch_dec:
+        return import_upernet_decoder_state_dict(state_dict)
+    if arch_dec.startswith("c1"):
+        return import_c1_state_dict(state_dict,
+                                    deepsup="deepsup" in arch_dec)
+    return import_ppm_decoder_state_dict(state_dict,
+                                         deepsup="deepsup" in arch_dec)
+
+
+def apply_pretrained_init(variables, cfg, args, logger=None) -> dict:
+    """Reference pretrained-init: ``--pre_enc`` / ``--pre_dec`` (or
+    cfg.MODEL.weights_encoder/decoder) torch checkpoints overwrite the
+    encoder/decoder subtrees before training (reference train_clip2.py:
+    511-512 → ModelBuilder weights=; the paper recipe initializes temporal
+    training from per-frame-pretrained encoders/decoders)."""
+    pre_enc = getattr(args, "pre_enc", "") or cfg.MODEL.weights_encoder
+    pre_dec = getattr(args, "pre_dec", "") or cfg.MODEL.weights_decoder
+    if not pre_enc and not pre_dec:
+        return variables
+    import torch
+    if pre_enc:
+        imported = import_encoder_by_arch(
+            cfg.MODEL.arch_encoder, torch.load(pre_enc, map_location="cpu"))
+        variables = merge_variables(
+            dict(variables), {c: {"encoder": v} for c, v in imported.items()})
+        if logger:
+            logger.info(f"pretrained init: encoder from {pre_enc}")
+    if pre_dec:
+        if "decoder" not in variables.get("params", {}):
+            if logger:
+                logger.info(f"pretrained init: --pre_dec ignored — "
+                            f"this method has no 'decoder' subtree")
+        else:
+            imported = import_decoder_by_arch(
+                cfg.MODEL.arch_decoder,
+                torch.load(pre_dec, map_location="cpu"))
+            variables = merge_variables(
+                dict(variables),
+                {c: {"decoder": v} for c, v in imported.items()})
+            if logger:
+                logger.info(f"pretrained init: decoder from {pre_dec}")
+    return variables

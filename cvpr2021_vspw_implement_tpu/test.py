@@ -30,9 +30,11 @@ def build_eval_parser():
     parser.add_argument("--num_class", type=int, default=124)
     parser.add_argument("--load", type=str, default="",
                         help="checkpoint (.msgpack) to evaluate")
-    parser.add_argument("--torch_enc", type=str, default="",
+    parser.add_argument("--torch_enc", "--load_en", dest="torch_enc",
+                        type=str, default="",
                         help="reference torch encoder .pth (encoder_epoch_N)")
-    parser.add_argument("--torch_dec", type=str, default="",
+    parser.add_argument("--torch_dec", "--load_de", dest="torch_dec",
+                        type=str, default="",
                         help="reference torch decoder .pth (decoder_epoch_N)")
     parser.add_argument("--saveroot", type=str, default="")
     parser.add_argument("--is_save", action="store_true")
@@ -70,44 +72,22 @@ def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
         if getattr(args, "torch_enc", ""):
             # reference torch encoder checkpoint (per-pixel fidelity path)
             import torch as _torch
-            from .models.import_torch import (import_hrnet_state_dict,
-                                              import_mobilenet_state_dict,
-                                              import_resnet_state_dict,
+            from .models.import_torch import (import_encoder_by_arch,
                                               merge_variables)
-            sd = _torch.load(args.torch_enc, map_location="cpu")
-            arch = cfg.MODEL.arch_encoder
-            if arch.startswith("hrnet"):
-                imported = import_hrnet_state_dict(sd)
-            elif arch.startswith("mobilenet"):
-                imported = import_mobilenet_state_dict(sd)
-            else:
-                imported = import_resnet_state_dict(sd)
+            imported = import_encoder_by_arch(
+                cfg.MODEL.arch_encoder,
+                _torch.load(args.torch_enc, map_location="cpu"))
             variables = merge_variables(
                 dict(variables),
                 {c: {"encoder": v} for c, v in imported.items()})
             logger.info(f"imported torch encoder {args.torch_enc}")
         if getattr(args, "torch_dec", ""):
             import torch as _torch
-            from .models.import_torch import (import_c1_state_dict,
-                                              import_deeplab_decoder_state_dict,
-                                              import_ocr_decoder_state_dict,
-                                              import_ppm_decoder_state_dict,
-                                              import_upernet_decoder_state_dict,
+            from .models.import_torch import (import_decoder_by_arch,
                                               merge_variables)
-            sd = _torch.load(args.torch_dec, map_location="cpu")
-            arch_dec = cfg.MODEL.arch_decoder
-            if "ocr" in arch_dec:
-                imported = import_ocr_decoder_state_dict(sd)
-            elif "deeplab" in arch_dec:
-                imported = import_deeplab_decoder_state_dict(sd)
-            elif "upernet" in arch_dec:
-                imported = import_upernet_decoder_state_dict(sd)
-            elif arch_dec.startswith("c1"):
-                imported = import_c1_state_dict(
-                    sd, deepsup="deepsup" in arch_dec)
-            else:
-                imported = import_ppm_decoder_state_dict(
-                    sd, deepsup="deepsup" in arch_dec)
+            imported = import_decoder_by_arch(
+                cfg.MODEL.arch_decoder,
+                _torch.load(args.torch_dec, map_location="cpu"))
             variables = merge_variables(
                 dict(variables),
                 {c: {"decoder": v} for c, v in imported.items()})

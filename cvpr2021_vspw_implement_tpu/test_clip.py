@@ -140,12 +140,21 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
         variables = {"params": variables["params"],
                      "batch_stats": variables.get("batch_stats", {})}
         if args.load:
+            # the reference's --load points at a fused TORCH checkpoint
+            # (test_clip2.py:28-45); ours is a TrainState .msgpack.  Accept
+            # both: on msgpack parse failure, fall through to the fused
+            # torch importer path.
             import flax.serialization as ser
-            with open(args.load, "rb") as f:
-                tree = ser.msgpack_restore(f.read())
-            variables = {"params": tree["params"],
-                         "batch_stats": tree["batch_stats"]}
-            logger.info(f"loaded checkpoint {args.load}")
+            try:
+                with open(args.load, "rb") as f:
+                    tree = ser.msgpack_restore(f.read())
+                variables = {"params": tree["params"],
+                             "batch_stats": tree["batch_stats"]}
+                logger.info(f"loaded checkpoint {args.load}")
+            except Exception:
+                args.torch_load = args.torch_load or args.load
+                logger.info(f"--load {args.load} is not a msgpack "
+                            "checkpoint; treating as a fused torch .pth")
         if getattr(args, "torch_load", ""):
             # fused reference clip checkpoint (train_clip2.py:179-189)
             import torch as _torch

@@ -79,6 +79,9 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
     key = jax.random.PRNGKey(cfg.TRAIN.seed)
     sample = jnp.zeros((1, crop[0], crop[1], 3), jnp.float32)
     variables = model.init({"params": key, "dropout": key}, sample, train=True)
+    # reference pretrained-init (--pre_enc/--pre_dec torch checkpoints)
+    from .models.import_torch import apply_pretrained_init
+    variables = apply_pretrained_init(variables, cfg, args, logger)
 
     max_iters = cfg.TRAIN.epoch_iters * args.totalepoch
     tx = create_frame_optimizer(variables["params"], lr=args.lr,

@@ -42,6 +42,9 @@ def train_clip(cfg, args, logger=None, max_steps: int | None = None):
     key = jax.random.PRNGKey(cfg.TRAIN.seed)
     sample = jnp.zeros((args.clip_num, 1, crop[0], crop[1], 3), jnp.float32)
     variables = model.init({"params": key, "dropout": key}, sample, train=True)
+    # reference pretrained-init (--pre_enc/--pre_dec torch checkpoints)
+    from .models.import_torch import apply_pretrained_init
+    variables = apply_pretrained_init(variables, cfg, args, logger)
 
     max_iters = len(loader) * args.totalepoch
     tx = create_clip_optimizer(variables["params"], lr=args.lr,
