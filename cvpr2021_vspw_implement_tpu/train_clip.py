@@ -120,6 +120,18 @@ def train_clip(cfg, args, logger=None, max_steps: int | None = None):
             if (epoch + 1) % 20 == 0 or (epoch + 1) == args.totalepoch:
                 ckpt = save_checkpoint(args.saveroot or cfg.DIR, state, epoch + 1)
                 logger.info(f"saved checkpoint {ckpt}")
+            if (epoch + 1) % 20 == 0 and getattr(args, "validation", False):
+                # in-training validation at each 20-epoch checkpoint
+                # (reference train_clip2.py:383-386)
+                from .test_clip import evaluate_clip
+                val_vars = {"params": state.params,
+                            "batch_stats": state.batch_stats}
+                # eval-only args the train parser doesn't define
+                for k, v in (("split", "val"), ("vc_clip_num", 8),
+                             ("is_save", False), ("max_videos", 0)):
+                    if not hasattr(args, k):
+                        setattr(args, k, v)
+                evaluate_clip(cfg, args, variables=val_vars, logger=logger)
             if max_steps and total_steps >= max_steps:
                 break
     return state
