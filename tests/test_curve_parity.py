@@ -889,3 +889,115 @@ def test_nonlocal3d_curve_matches_reference(no_dropout):
 
     np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
     assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
+
+
+def _ocr_variant_curve(ref_module, ref_cls_name, our_module, our_cls_name,
+                       our_loss_name, seed, tmp_path, monkeypatch,
+                       extra_args=None, loss_kwargs=None):
+    """Shared harness for the OCR flow-method variants (netwarp_ocr /
+    etc_ocr): frozen-RAFT flow, OCR head with dsn deep supervision over the
+    concatenated [prev, target] labels (reference quirk kept)."""
+    import argparse as _ap
+    import importlib
+    from functools import partial
+
+    from test_fused_numeric import (_build_jax_encoder, _ref_encoder,
+                                    _stage_raft_ckpt)
+
+    _stage_raft_ckpt(tmp_path, monkeypatch)
+    ref_mod = _ref_import(ref_module)
+    args = _ap.Namespace(num_class=K, clip_num=2, **(extra_args or {}))
+    tmodel = getattr(ref_mod, ref_cls_name)(
+        _ref_encoder(), torch.nn.NLLLoss(ignore_index=255), args,
+        deep_sup_scale=0.4)
+    _randomize(tmodel, seed=seed)
+    _zero_torch_dropout(tmodel)
+    tmodel.train()
+
+    opt = torch.optim.SGD([
+        {"params": tmodel.get_1x_lr_params(), "lr": LR * 0.1,
+         "weight_decay": WD},
+        {"params": tmodel.get_10x_lr_params(), "lr": LR, "weight_decay": WD},
+        {"params": tmodel.get_1x_lr_params_bias(), "lr": LR * 0.1,
+         "weight_decay": 0},
+        {"params": tmodel.get_10x_lr_params_bias(), "lr": LR,
+         "weight_decay": 0},
+    ], lr=LR, momentum=MOM, weight_decay=WD)
+
+    rng = np.random.default_rng(seed + 1)
+    b, hw = 2, 128  # RAFT pyramid needs >=2x2 at H/64
+    batches = []
+    for _ in range(STEPS):
+        imgs = rng.standard_normal((2, b, hw, hw, 3)).astype(np.float32)
+        labs = rng.integers(0, K, (2, b, hw, hw)).astype(np.int32)
+        labs[:, :, 0, 0] = 255
+        batches.append((imgs, labs))
+
+    sd0 = copy.deepcopy(tmodel.state_dict())
+    ref_losses = []
+    for i, (imgs, labs) in enumerate(batches):
+        lr_i = LR * _poly(i)
+        for gi, g in enumerate(opt.param_groups):
+            g["lr"] = lr_i * (0.1 if gi in (0, 2) else 1.0)
+        feed = {
+            "img_data": torch.from_numpy(imgs[-1].transpose(0, 3, 1, 2)),
+            "clipimgs_data": [torch.from_numpy(
+                imgs[0].transpose(0, 3, 1, 2))],
+            "seg_label": torch.from_numpy(
+                labs[-1].astype(np.float32))[:, None],
+            "cliplabels_data": [torch.from_numpy(
+                labs[0].astype(np.float32))[:, None]],
+        }
+        loss, _acc = tmodel(feed)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    from cvpr2021_vspw_implement_tpu.models import import_torch as it
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+
+    mod = importlib.import_module(
+        f"cvpr2021_vspw_implement_tpu.models.{our_module}")
+    if our_module == "netwarp":
+        variables = it.import_netwarp_state_dict(sd0, ocr=True)
+        model = mod.NetWarp(encoder=_build_jax_encoder(), num_class=K,
+                            fc_dim=2048, ocr=True, raft_iters=20)
+    else:
+        variables = it.import_etc_state_dict(sd0, ocr=True)
+        model = mod.ETC(encoder=_build_jax_encoder(), num_class=K,
+                        fc_dim=2048, ocr=True)
+    tx = create_clip_optimizer(variables["params"], lr=LR,
+                               max_iters=MAX_ITERS, momentum=MOM,
+                               weight_decay=WD)
+    state = TrainState.create(variables, tx)
+    loss_fn = partial(getattr(mod, our_loss_name), ocr=True,
+                      **(loss_kwargs or {}))
+    step_fn = make_train_step(model, tx, loss_fn=loss_fn, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for imgs, labs in batches:
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(imgs), "labels": jnp.asarray(labs)},
+            key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
+
+
+def test_netwarp_ocr_curve_matches_reference(no_dropout, tmp_path,
+                                             monkeypatch):
+    _ocr_variant_curve("models.netwarp_ocr", "NetWarp_ocr", "netwarp",
+                       "NetWarp", "netwarp_loss", 83, tmp_path, monkeypatch)
+
+
+def test_etc_ocr_curve_matches_reference(no_dropout, tmp_path, monkeypatch):
+    _ocr_variant_curve("models.ETC_ocr", "ETC_ocr", "etc", "ETC",
+                       "etc_loss", 85, tmp_path, monkeypatch,
+                       extra_args={"dilation_num": 0, "st_weight": 1.0},
+                       loss_kwargs={"st_weight": 1.0})
