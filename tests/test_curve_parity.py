@@ -1001,3 +1001,126 @@ def test_etc_ocr_curve_matches_reference(no_dropout, tmp_path, monkeypatch):
                        "etc_loss", 85, tmp_path, monkeypatch,
                        extra_args={"dilation_num": 0, "st_weight": 1.0},
                        loss_kwargs={"st_weight": 1.0})
+
+
+def test_biconvlstm_allclip_curve_matches_reference(no_dropout):
+    """SegmentationModule_allclip (BiConvLSTM head, fix=True — the only
+    branch that runs upstream; non-fix references an undefined loss1):
+    frozen HRNet embeddings, gradients through the shared-cell
+    bidirectional ConvLSTM recurrence, mean per-frame NLL
+    (reference models/models.py:345-447)."""
+    import argparse as _ap
+
+    mm = _ref_import("models.models")
+    t, b, hw = 3, 2, 64
+    args = _ap.Namespace(num_class=K, convlstm=True, non_local=False,
+                         fix=True)
+    torch.manual_seed(3)
+    enc = mm.ModelBuilder.build_encoder("hrnetv2", fc_dim=720, weights="")
+    dec = mm.ModelBuilder.build_decoder("c1", fc_dim=720, num_class=K,
+                                        use_softmax=False)
+    tmodel = mm.SegmentationModule_allclip(
+        enc, dec, torch.nn.NLLLoss(ignore_index=255), args,
+        inputsize=(hw // 4, hw // 4))
+    # reference _init_hidden hardcodes .cuda() (BiConvLSTM.py:139-144)
+    cl = tmodel.prop_clip.convlstm
+    cl._init_hidden = lambda batch_size, cuda: [
+        (torch.zeros(batch_size, d, hw // 4, hw // 4),
+         torch.zeros(batch_size, d, hw // 4, hw // 4))
+        for d in cl.hidden_dim]
+    _randomize(tmodel, seed=87)
+    _zero_torch_dropout(tmodel)
+    tmodel.train()
+
+    # The reference's group generators yield each param once per ancestor
+    # module (named_modules x named_parameters), and torch double-applies
+    # duplicates.  For every DRIVER-trained method the duplication shifts
+    # the loss <0.1% over 3 steps (verified for clip_psp) and the curve
+    # tests compare against the quirk as-is; allclip's head is ~3.5x
+    # duplicated and no reference driver ever builds this optimizer, so
+    # here we pin against the deduplicated groups (the intended recipe).
+    def dedup(gen):
+        seen, out = set(), []
+        for q in gen:
+            if id(q) not in seen:
+                seen.add(id(q))
+                out.append(q)
+        return out
+
+    groups = [
+        {"params": dedup(tmodel.get_1x_lr_params()), "lr": LR * 0.1,
+         "weight_decay": WD},
+        {"params": dedup(tmodel.get_10x_lr_params()), "lr": LR,
+         "weight_decay": WD},
+        {"params": dedup(tmodel.get_1x_lr_params_bias()), "lr": LR * 0.1,
+         "weight_decay": 0},
+        {"params": dedup(tmodel.get_10x_lr_params_bias()), "lr": LR,
+         "weight_decay": 0},
+    ]
+    opt = torch.optim.SGD([g for g in groups if g["params"]], lr=LR,
+                          momentum=MOM, weight_decay=WD)
+
+    rng = np.random.default_rng(88)
+    batches = []
+    for _ in range(STEPS):
+        imgs = rng.standard_normal((t, b, hw, hw, 3)).astype(np.float32)
+        labs = rng.integers(0, K, (t, b, hw, hw)).astype(np.int32)
+        labs[:, :, 0, 0] = 255
+        batches.append((imgs, labs))
+
+    sd_enc0 = copy.deepcopy(enc.state_dict())
+    sd_head0 = copy.deepcopy(tmodel.prop_clip.state_dict())
+    ref_losses = []
+    for i, (imgs, labs) in enumerate(batches):
+        lr_i = LR * _poly(i)
+        for gi, g in enumerate(opt.param_groups):
+            g["lr"] = lr_i  # fix=True: only 10x groups survive, lr 1x
+        feed = {
+            "clipimgs_data": [torch.from_numpy(f.transpose(0, 3, 1, 2))
+                              for f in imgs],
+            "seg_label": torch.from_numpy(
+                labs[-1].astype(np.float32))[:, None],
+            "cliplabels_data": [torch.from_numpy(
+                l.astype(np.float32))[:, None] for l in labs],
+        }
+        loss, _acc = tmodel(feed)
+        opt.zero_grad()
+        loss.backward()
+        opt.step()
+        ref_losses.append(float(loss))
+
+    from cvpr2021_vspw_implement_tpu.models.biconvlstm import (
+        SegmentationModuleAllClip, allclip_loss)
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_convlstm_head_state_dict, import_hrnet_state_dict)
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_clip_optimizer)
+
+    enc_v = import_hrnet_state_dict(sd_enc0)
+    head_v = import_convlstm_head_state_dict(sd_head0)
+    variables = {
+        "params": {"encoder": enc_v["params"],
+                   "prop_clip": head_v["params"]},
+        "batch_stats": {"encoder": enc_v["batch_stats"]},
+    }
+    model = SegmentationModuleAllClip(
+        encoder=ModelBuilder.build_encoder("hrnetv2"), num_class=K)
+    tx = create_clip_optimizer(variables["params"], lr=LR,
+                               max_iters=MAX_ITERS, momentum=MOM,
+                               weight_decay=WD, fix_encoder=True)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(model, tx, loss_fn=allclip_loss, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for imgs, labs in batches:
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(imgs), "labels": jnp.asarray(labs)},
+            key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
