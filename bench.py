@@ -140,6 +140,42 @@ def main():
     stream_mfu = (stream_flops / stream_dt / peak
                   if stream_flops else None)
 
+    # -------- 1b. multi-stream serving throughput (4 videos/chip) ----------
+    # batching independent streams through the per-frame step lifts MFU;
+    # guarded so a failure never loses the primary metrics.
+    stream4_fps = None
+    try:
+        B4 = 4
+        frames4 = jnp.asarray(
+            rng.standard_normal((N, B4, h, w, 3)).astype(np.float32))
+
+        def one4(blended_prev, img):
+            c5, pooled = model.apply(variables, img, train=False,
+                                     method=model.encode_frame)
+            blended = [jnp.mean(jnp.stack([p, q]), 0)
+                       for p, q in zip(pooled, blended_prev)]
+            logits = model.apply(variables, c5, blended, train=False,
+                                 method=model.fuse_target)
+            pred = inference_pred((logits,), (h, w))
+            return pooled, jnp.sum(pred[:, ::97, ::97].astype(jnp.int32))
+
+        @jax.jit
+        def run4(frames, b0):
+            _, s = jax.lax.scan(one4, b0, frames)
+            return jnp.sum(s)
+
+        b04 = [jnp.zeros((B4, s, s, 2048), jnp.bfloat16)
+               for s in (1, 2, 3, 6)]
+        float(run4(frames4, b04))
+        best4 = float("inf")
+        for _trial in range(3):
+            start = time.perf_counter()
+            float(run4(frames4, b04))
+            best4 = min(best4, time.perf_counter() - start)
+        stream4_fps = round(N * B4 / best4, 3)
+    except Exception:
+        pass
+
     # ------------- 2. reference window formulation, same chip --------------
     # test_clip2.py re-encodes clip_num+1 = 4 frames per eval frame; scan
     # over M distinct windows (each its own 4 frames) so nothing hoists.
@@ -278,6 +314,7 @@ def main():
         "mfu": rnd(stream_mfu),
         "tflops_per_sec": rnd(stream_flops / stream_dt / 1e12
                               if stream_flops else None, 2),
+        "stream4_frames_per_sec": stream4_fps,
         "baseline_frames_per_sec": round(base_fps, 3),
         "baseline_mfu": rnd(base_mfu),
         "baseline_def": "reference window formulation (test_clip2.py:28-89),"
