@@ -49,7 +49,7 @@ def _gather_2d(x: jnp.ndarray, ix: jnp.ndarray, iy: jnp.ndarray) -> jnp.ndarray:
 #: one-hot-matmul dispatch bounds: the [N, Ho*Wo, H*W] weight matrix must
 #: stay small (bf16 bytes) and the channel count large enough that the MXU
 #: matmul amortizes building it.
-_ONEHOT_MAX_PQ = 32 * 1024 * 1024
+_ONEHOT_MAX_PQ = 128 * 1024 * 1024  # total f32 elements incl. batch (~512MB)
 _ONEHOT_MIN_C = 128
 
 
@@ -93,7 +93,10 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear",
     gx = _unnormalize(grid[..., 0].astype(jnp.float32), x.shape[2], align_corners)
     gy = _unnormalize(grid[..., 1].astype(jnp.float32), x.shape[1], align_corners)
     if onehot is None:
-        pq = x.shape[1] * x.shape[2] * grid.shape[1] * grid.shape[2]
+        # the weight matrix is [N, Ho*Wo, H*W] f32, so the bound must cover
+        # the batch dim too or large-batch warps OOM where gathers fit
+        pq = (x.shape[0] * x.shape[1] * x.shape[2]
+              * grid.shape[1] * grid.shape[2])
         onehot = (jax.default_backend() not in ("cpu",)
                   and pq <= _ONEHOT_MAX_PQ and x.shape[-1] >= _ONEHOT_MIN_C)
     h, w = x.shape[1:3]

@@ -60,7 +60,7 @@ def tp_spec(path: str, shape, n_model: int, n_pipe: int = 1) -> P | None:
     both gated on divisibility."""
     pipe = (n_pipe > 1 and _PIPE_RE.search(path) and len(shape) >= 1
             and shape[0] % n_pipe == 0)
-    if n_model > 1 and _TP_RE.search(path) and len(shape) >= 1 \
+    if n_model > 1 and _TP_RE.search(path) and len(shape) >= 2 \
             and shape[-1] % n_model == 0:
         return P("pipe" if pipe else None,
                  *([None] * (len(shape) - 2)), "model")

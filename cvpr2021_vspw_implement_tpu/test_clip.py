@@ -128,6 +128,13 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
                   max_videos: int = 0, is_save: bool = False):
     logger = logger or setup_logger()
     dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else None
+    # eval always runs the standard (unpipelined) layout: checkpoints from a
+    # GPipe-pipelined trainer are maybe_unpipeline()d below, so the model
+    # must be built with pipeline_stages=0 or apply() would expect stacked
+    # layer3_pipe/stages params that no longer exist.
+    if getattr(cfg.TPU, "pipeline_stages", 0) > 1:
+        cfg = cfg.clone()
+        cfg.TPU.pipeline_stages = 0
     model, _ = build_method(args.method, cfg, args, dtype)
 
     use_memory = getattr(args, "use_memory", False) and args.method == "clip_ocr"

@@ -23,3 +23,30 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# ---------------------------------------------------------------------------
+# Test tiering: `pytest -m smoke` selects one fast file per subsystem
+# (~3 min on a 1-core host; the full suite extrapolates to ~2h there).
+# Files — not individual tests — are marked so the smoke tier stays in sync
+# as tests are added to these files.
+# ---------------------------------------------------------------------------
+_SMOKE_FILES = {
+    "test_metrics.py",            # metrics (Evaluator, VC kernel)
+    "test_ops.py",                # core ops (resize, warp, grid_sample)
+    "test_config.py",             # config system
+    "test_sharding_rules.py",     # tensor-parallel sharding rules
+    "test_data.py",               # datasets + loader
+    "test_batchnorm.py",          # sync-BN on the 8-device mesh
+    "test_native.py",             # C++ host ops
+    "test_checkpoint_extras.py",  # checkpoint backends
+    "test_models.py",             # backbone/decoder forwards
+    "test_e2e_frame.py",          # train->eval end to end
+    "test_pallas.py",             # pallas kernels (interpret mode)
+}
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        if item.path.name in _SMOKE_FILES:
+            item.add_marker(pytest.mark.smoke)
