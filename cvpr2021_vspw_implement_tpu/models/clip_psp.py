@@ -81,24 +81,58 @@ class ClipPSP(nn.Module):
         if self.psp_weight:
             self.pspweight_conv = Conv(1, 1, use_bias=False, dtype=self.dtype)
 
-    def fuse_target(self, target_c5, blended, train: bool = False):
+    def fuse_target(self, target_c5, blended, train: bool = False,
+                    feat_valid=None):
         """PPM_conv (reference: clip_psp.py:23-56): per-scale 1x1 conv+BN+ReLU
         on the blended stats, upsample, concat with target C5, fuse.
 
-        target_c5: [B, h, w, C]; blended: list of [B, s, s, C]."""
+        target_c5: [B, h, w, C]; blended: list of [B, s, s, C].
+        ``feat_valid``: runtime valid (rows, cols) of target_c5 for
+        width-bucketed masked eval — the pyramid resizes target the valid
+        region and the concat stays zero on the padding, so the fuse conv
+        is exact there."""
         fh, fw = target_c5.shape[1:3]
-        ppm_out = [target_c5]
-        for conv, feat in zip(self.ppm_convs, blended):
-            ppm_out.append(resize_bilinear(conv(feat, train), (fh, fw)))
+        if feat_valid is not None:
+            from ..ops.masked import mask_valid, resize_bilinear_rt
+            ppm_out = [mask_valid(target_c5, feat_valid)]
+            for conv, feat, s in zip(self.ppm_convs, blended,
+                                     self.pool_scales):
+                ppm_out.append(resize_bilinear_rt(
+                    conv(feat, train), (fh, fw), (s, s), feat_valid))
+        else:
+            ppm_out = [target_c5]
+            for conv, feat in zip(self.ppm_convs, blended):
+                ppm_out.append(resize_bilinear(conv(feat, train), (fh, fw)))
         x = jnp.concatenate(ppm_out, axis=-1)
         x = nn.relu(self.conv_last_bn(self.conv_last_conv(x), train))
         x = self.conv_last_drop(x, train)
         return self.conv_last_cls(x)
 
-    def encode_frame(self, img, train: bool = False):
+    def encode_frame(self, img, train: bool = False, valid_hw=None):
         """One frame → (C5 map, per-scale pooled stats [+ psp_weight logit]).
         Streaming-eval building block: the stats are cached and reused
-        across windows."""
+        across windows.
+
+        ``valid_hw``: runtime (rows, cols) of the TRUE frame inside a
+        width-bucketed zero-padded ``img`` — the trunk runs under the
+        conv-input mask interceptor and pooling covers the valid region
+        only (ops/masked.py); the pooled stats equal the unpadded run's."""
+        if valid_hw is not None:
+            from ..ops.masked import (adaptive_avg_pool2d_rt, feature_valid,
+                                      global_avg_pool_rt, mask_interceptor,
+                                      mask_valid)
+            pad_hw = img.shape[1:3]
+            with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+                conv_out = self.encoder(img, train=train)
+            c5 = conv_out[-1]
+            fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, pad_hw)
+            c5 = mask_valid(c5, fv)
+            pooled = [adaptive_avg_pool2d_rt(c5, s, fv)
+                      for s in self.pool_scales]
+            if self.psp_weight:
+                wp = global_avg_pool_rt(self.pspweight_conv(c5), fv)
+                return c5, (pooled, wp.reshape(-1))
+            return c5, pooled
         conv_out = self.encoder(img, train=train)
         c5 = conv_out[-1]
         pooled = [adaptive_avg_pool2d(c5, s) for s in self.pool_scales]

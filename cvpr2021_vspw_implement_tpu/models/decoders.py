@@ -21,6 +21,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.interpolate import resize_bilinear
+from ..ops.masked import (adaptive_avg_pool2d_rt, feature_valid, mask_valid,
+                          resize_bilinear_rt)
 from ..ops.pooling import adaptive_avg_pool2d
 from .layers import BatchNorm2d, Conv, ConvBNReLU, Dropout2d
 
@@ -38,9 +40,12 @@ class C1(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, conv_out, train: bool = False):
+    def __call__(self, conv_out, train: bool = False, valid_hw=None):
+        c5 = conv_out[-1]
+        if valid_hw is not None:
+            c5 = mask_valid(c5, valid_hw)
         x = ConvBNReLU(self.fc_dim // 4, dtype=self.dtype,
-                       bn_bias_init=_bn_bias_init, name="cbr")(conv_out[-1], train)
+                       bn_bias_init=_bn_bias_init, name="cbr")(c5, train)
         x = Conv(self.num_class, 1, dtype=self.dtype, name="conv_last_1")(x)
         return (x,)
 
@@ -53,9 +58,12 @@ class C1DeepSup(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, conv_out, train: bool = False):
+    def __call__(self, conv_out, train: bool = False, valid_hw=None):
+        c5 = conv_out[-1]
+        if valid_hw is not None:
+            c5 = mask_valid(c5, valid_hw)
         x = ConvBNReLU(self.fc_dim // 4, dtype=self.dtype,
-                       bn_bias_init=_bn_bias_init, name="cbr")(conv_out[-1], train)
+                       bn_bias_init=_bn_bias_init, name="cbr")(c5, train)
         x = Conv(self.num_class, 1, dtype=self.dtype, name="conv_last_")(x)
         if not train:
             return (x,)
@@ -73,17 +81,26 @@ class PPMPyramid(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, conv5, train: bool = False):
+    def __call__(self, conv5, train: bool = False, valid_hw=None):
+        """``valid_hw``: runtime (rows, cols) valid size of conv5 for
+        width-bucketed masked eval (ops/masked.py) — pooling and the
+        pyramid resizes then operate on the valid region only, keeping
+        the concat exact on it and zero on the padding."""
         h, w = conv5.shape[1:3]
+        if valid_hw is not None:
+            conv5 = mask_valid(conv5, valid_hw)
         outs = [conv5]
         for i, scale in enumerate(self.pool_scales):
-            p = adaptive_avg_pool2d(conv5, scale)
+            p = adaptive_avg_pool2d(conv5, scale) if valid_hw is None \
+                else adaptive_avg_pool2d_rt(conv5, scale, valid_hw)
             p = Conv(512, 1, use_bias=False, dtype=self.dtype,
                      name=f"ppm_{i}_conv")(p)
             p = BatchNorm2d(512, dtype=self.dtype, bias_init=_bn_bias_init,
                             name=f"ppm_{i}_bn")(p, train)
             p = nn.relu(p)
-            outs.append(resize_bilinear(p, (h, w)))
+            outs.append(resize_bilinear(p, (h, w)) if valid_hw is None
+                        else resize_bilinear_rt(p, (h, w), (scale, scale),
+                                                valid_hw))
         return jnp.concatenate(outs, axis=-1)
 
 
@@ -117,9 +134,9 @@ class PPM(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, conv_out, train: bool = False):
+    def __call__(self, conv_out, train: bool = False, valid_hw=None):
         ppm_out = PPMPyramid(self.fc_dim, self.pool_scales, self.dtype,
-                             name="ppm")(conv_out[-1], train)
+                             name="ppm")(conv_out[-1], train, valid_hw)
         x = PPMLastConv(self.num_class, self.fc_dim, len(self.pool_scales),
                         self.dtype, name="conv_last")(ppm_out, train)
         return (x,)
@@ -134,9 +151,9 @@ class PPMDeepsup(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, conv_out, train: bool = False):
+    def __call__(self, conv_out, train: bool = False, valid_hw=None):
         ppm_out = PPMPyramid(self.fc_dim, self.pool_scales, self.dtype,
-                             name="ppm")(conv_out[-1], train)
+                             name="ppm")(conv_out[-1], train, valid_hw)
         x = PPMLastConv(self.num_class, self.fc_dim, len(self.pool_scales),
                         self.dtype, name="conv_last_")(ppm_out, train)
         if not train:

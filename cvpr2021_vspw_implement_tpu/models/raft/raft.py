@@ -94,8 +94,6 @@ class RAFT(nn.Module):
         update = BasicUpdateBlock(self.hidden_dim, dtype=self.dtype,
                                   name="update_block")
 
-        mask0 = jnp.zeros((b, h8, w8, 64 * 9), jnp.float32)
-
         # fused gather-free Pallas lookup on TPU (ops/pallas/corr.py — the
         # alt_cuda_corr equivalent); XLA take_along_axis path elsewhere and
         # during init (flax init may execute on the host CPU backend where
@@ -109,35 +107,51 @@ class RAFT(nn.Module):
         else:
             lookup = lookup_corr_pyramid
 
-        def one_iter(net, coords1):
+        def one_iter(net, coords1, with_mask):
             coords1 = jax.lax.stop_gradient(coords1)
             corr = lookup(pyramid, coords1, self.corr_radius)
             flow = coords1 - coords0
             net, up_mask, delta = update(net, inp, corr.astype(net.dtype),
-                                         flow)
+                                         flow, with_mask=with_mask)
             coords1 = coords1 + delta.astype(jnp.float32)
-            return net, coords1, up_mask.astype(jnp.float32)
+            return net, coords1, up_mask
 
         if self.is_initializing():
             # create the update block's params with one unrolled iteration —
             # flax can't create params inside lax.scan
-            net, coords1, up_mask = one_iter(net, coords1)
+            net, coords1, up_mask = one_iter(net, coords1, True)
             all_flows = None
-        else:
+        elif return_all:
+            # per-iteration upsampled predictions (training sequence loss,
+            # reference: raft.py:113-123) need the mask every iteration
             def step(carry, _):
-                net, coords1, _ = carry
-                carry = one_iter(net, coords1)
-                # per-iteration upsampled prediction (training sequence loss,
-                # reference: raft.py:113-123) — only kept with return_all
-                out = (upsample_flow_convex(carry[1] - coords0, carry[2])
-                       if return_all else None)
-                return carry, out
+                net, coords1 = carry
+                net, coords1, up_mask = one_iter(net, coords1, True)
+                out = upsample_flow_convex(coords1 - coords0,
+                                           up_mask.astype(jnp.float32))
+                return (net, coords1), out
 
-            (net, coords1, up_mask), all_flows = jax.lax.scan(
-                step, (net, coords1, mask0), None, length=self.iters)
+            (net, coords1), all_flows = jax.lax.scan(
+                step, (net, coords1), None, length=self.iters)
+            up_mask = None
+        else:
+            # only the FINAL iteration's mask is consumed — hoist the mask
+            # head out of the scan entirely (the reference recomputes and
+            # discards it every iteration, RAFT_core/update.py:136)
+            def step(carry, _):
+                net, coords1 = carry
+                net, coords1, _ = one_iter(net, coords1, False)
+                return (net, coords1), None
+
+            (net, coords1), _ = jax.lax.scan(
+                step, (net, coords1), None, length=self.iters)
+            up_mask = update.mask(net)
+            all_flows = None
 
         flow_low = coords1 - coords0
-        flow_up = upsample_flow_convex(flow_low, up_mask)
+        if up_mask is not None:
+            flow_up = upsample_flow_convex(flow_low,
+                                           up_mask.astype(jnp.float32))
         if return_all and all_flows is not None:
             return all_flows                     # [iters, B, 8H, 8W, 2]
         if test_mode:

@@ -1,10 +1,30 @@
 """RAFT update block: motion encoder + separable ConvGRU + flow head
-(reference: RAFT_core/update.py)."""
+(reference: RAFT_core/update.py).
+
+TPU-first restructuring of the hot refinement loop:
+
+* the SepConvGRU declares its six conv weights directly (param tree is
+  identical to the torch layout the importers target: ``gru/convz1/kernel``
+  etc.) and computes the z and r gates with ONE fused convolution over
+  concatenated kernels — the two gates share the same [h|x] input, so this
+  halves the gate-conv count with bit-identical math (reference runs them
+  as two separate nn.Conv2d, update.py:36-45);
+* on TPU the two separable passes run as fused Pallas kernels
+  (ops/pallas/gru.py) that keep the [h|x] tile, both gate matmuls and the
+  blend in VMEM — the XLA path below is the reference implementation and
+  the CPU fallback;
+* the convex-upsampling mask head is exposed separately (``mask()``) so the
+  driver can hoist it out of the ``lax.scan`` when only the final
+  iteration's mask is consumed (reference computes it every iteration,
+  update.py:136, and discards all but the last when test_mode).
+"""
 
 from __future__ import annotations
 
-from typing import Any
+import os
+from typing import Any, Sequence
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -23,6 +43,30 @@ class FlowHead(nn.Module):
                     kernel_init=kaiming_normal_fan_out, name="conv2")(x)
 
 
+class ConvParams(nn.Module):
+    """Declares a conv's kernel+bias without applying it — lets the parent
+    fuse several convs into one MXU contraction while keeping the param
+    tree identical to a plain ``nn.Conv`` (for the torch importers)."""
+
+    kernel_shape: Sequence[int]          # (kh, kw, in, out) HWIO
+
+    @nn.compact
+    def __call__(self):
+        shape = tuple(self.kernel_shape)
+        k = self.param("kernel", kaiming_normal_fan_out, shape, jnp.float32)
+        b = self.param("bias", nn.initializers.zeros, (shape[-1],),
+                       jnp.float32)
+        return k, b
+
+
+def _conv2d(x, kernel, bias, pad_h: int, pad_w: int):
+    out = jax.lax.conv_general_dilated(
+        x, kernel, window_strides=(1, 1),
+        padding=((pad_h, pad_h), (pad_w, pad_w)),
+        dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return out + bias
+
+
 class SepConvGRU(nn.Module):
     """Two-pass (1x5 then 5x1) gated recurrent unit (update.py:33-60)."""
 
@@ -31,18 +75,34 @@ class SepConvGRU(nn.Module):
 
     @nn.compact
     def __call__(self, h, x):
-        for axis, (kh, kw, ph, pw) in enumerate([(1, 5, 0, 2), (5, 1, 2, 0)]):
-            def conv(name, inp):
-                return nn.Conv(self.hidden_dim, (kh, kw),
-                               padding=((ph, ph), (pw, pw)), dtype=self.dtype,
-                               param_dtype=jnp.float32,
-                               kernel_init=kaiming_normal_fan_out,
-                               name=name)(inp)
+        hd = self.hidden_dim
+        cin = h.shape[-1] + x.shape[-1]
+
+        use_pallas = (not self.is_initializing()
+                      and jax.default_backend() not in ("cpu",)
+                      and os.environ.get("VSPW_TPU_PALLAS", "1") == "1")
+        if use_pallas:
+            from ...ops.pallas.gru import sep_conv_gru_pass
+
+        for axis, (kh, kw) in enumerate([(1, 5), (5, 1)]):
+            kshape = (kh, kw, cin, hd)
+            kz, bz = ConvParams(kshape, name=f"convz{axis + 1}")()
+            kr, br = ConvParams(kshape, name=f"convr{axis + 1}")()
+            kq, bq = ConvParams(kshape, name=f"convq{axis + 1}")()
+            # fused z|r gate conv: both gates read the same [h|x] input
+            kzr = jnp.concatenate([kz, kr], axis=-1)
+            bzr = jnp.concatenate([bz, br])
+            if self.dtype is not None:
+                h, x, kzr, bzr, kq, bq = nn.dtypes.promote_dtype(
+                    h, x, kzr, bzr, kq, bq, dtype=self.dtype)
+            if use_pallas:
+                h = sep_conv_gru_pass(h, x, kzr, bzr, kq, bq, axis=axis)
+                continue
             hx = jnp.concatenate([h, x], axis=-1)
-            z = nn.sigmoid(conv(f"convz{axis + 1}", hx))
-            r = nn.sigmoid(conv(f"convr{axis + 1}", hx))
-            q = nn.tanh(conv(f"convq{axis + 1}",
-                             jnp.concatenate([r * h, x], axis=-1)))
+            zr = nn.sigmoid(_conv2d(hx, kzr, bzr, kh // 2, kw // 2))
+            z, r = zr[..., :hd], zr[..., hd:]
+            q = nn.tanh(_conv2d(jnp.concatenate([r * h, x], axis=-1),
+                                kq, bq, kh // 2, kw // 2))
             h = (1 - z) * h + z * q
         return h
 
@@ -76,17 +136,25 @@ class BasicUpdateBlock(nn.Module):
     hidden_dim: int = 128
     dtype: Any = None
 
-    @nn.compact
-    def __call__(self, net, inp, corr, flow):
-        motion = BasicMotionEncoder(dtype=self.dtype, name="encoder")(flow, corr)
+    def setup(self):
+        self.encoder = BasicMotionEncoder(dtype=self.dtype)
+        self.gru = SepConvGRU(self.hidden_dim, dtype=self.dtype)
+        self.flow_head = FlowHead(256, dtype=self.dtype)
+        self.mask_0 = Conv(256, 3, padding=1, dtype=self.dtype,
+                           kernel_init=kaiming_normal_fan_out)
+        self.mask_2 = Conv(64 * 9, 1, dtype=self.dtype,
+                           kernel_init=kaiming_normal_fan_out)
+
+    def mask(self, net):
+        """Convex-upsampling mask head — callable outside the scan so the
+        driver computes it once from the final net when only the last
+        iteration's mask is used (reference recomputes per iter)."""
+        return 0.25 * self.mask_2(nn.relu(self.mask_0(net)))
+
+    def __call__(self, net, inp, corr, flow, with_mask: bool = True):
+        motion = self.encoder(flow, corr)
         gru_in = jnp.concatenate([inp, motion], axis=-1)
-        net = SepConvGRU(self.hidden_dim, dtype=self.dtype,
-                         name="gru")(net, gru_in)
-        delta_flow = FlowHead(256, dtype=self.dtype, name="flow_head")(net)
-        m = nn.relu(Conv(256, 3, padding=1, dtype=self.dtype,
-                         kernel_init=kaiming_normal_fan_out,
-                         name="mask_0")(net))
-        mask = 0.25 * Conv(64 * 9, 1, dtype=self.dtype,
-                           kernel_init=kaiming_normal_fan_out,
-                           name="mask_2")(m)
+        net = self.gru(net, gru_in)
+        delta_flow = self.flow_head(net)
+        mask = self.mask(net) if with_mask else None
         return net, mask, delta_flow

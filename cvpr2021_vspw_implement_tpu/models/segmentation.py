@@ -26,10 +26,24 @@ class SegmentationModule(nn.Module):
     encoder: nn.Module
     decoder: nn.Module
 
-    def __call__(self, img, train: bool = False):
-        """img: [N, H, W, 3] normalized; returns decoder output tuple."""
-        conv_out = self.encoder(img, train=train)
-        return self.decoder(conv_out, train=train)
+    def __call__(self, img, train: bool = False, valid_hw=None):
+        """img: [N, H, W, 3] normalized; returns decoder output tuple.
+
+        ``valid_hw``: runtime (rows, cols) of the TRUE image inside a
+        width-bucketed zero-padded ``img`` (ops/masked.py) — the trunk
+        runs under the conv-input mask interceptor and the decoder gets
+        the feature-level valid size; predictions on the valid region are
+        bit-identical to the unpadded run, at one compile per bucket."""
+        if valid_hw is None:
+            conv_out = self.encoder(img, train=train)
+            return self.decoder(conv_out, train=train)
+        from ..ops.masked import feature_valid, mask_interceptor
+        pad_hw = img.shape[1:3]
+        with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+            conv_out = self.encoder(img, train=train)
+        c5 = conv_out[-1]
+        fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, pad_hw)
+        return self.decoder(conv_out, train=train, valid_hw=fv)
 
 
 def nll_from_logprobs(logp: jnp.ndarray, label: jnp.ndarray,
@@ -110,4 +124,17 @@ def inference_pred(outputs, seg_size: tuple[int, int]) -> jnp.ndarray:
     """
     logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
     x = resize_bilinear(logits.astype(jnp.float32), seg_size)
+    return jnp.argmax(x, axis=-1).astype(jnp.uint8)
+
+
+def inference_pred_rt(outputs, seg_pad: tuple[int, int], feat_valid,
+                      seg_valid) -> jnp.ndarray:
+    """``inference_pred`` for width-bucketed masked eval: resize the VALID
+    region of the logits to the runtime true output size on a static
+    padded grid (ops/masked.py), then argmax.  Rows/cols beyond
+    ``seg_valid`` are garbage — the caller crops."""
+    from ..ops.masked import resize_bilinear_rt
+    logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+    x = resize_bilinear_rt(logits.astype(jnp.float32), seg_pad, feat_valid,
+                           seg_valid)
     return jnp.argmax(x, axis=-1).astype(jnp.uint8)

@@ -1,0 +1,194 @@
+"""Width-bucketed eval: masked ops with RUNTIME valid sizes.
+
+VSPW-480p eval images are 480 x variable-width across videos
+(reference: dataset2.py:34-141 resizes to short-side 480 and keeps the
+aspect ratio), so a naive jit-per-shape eval pays one XLA compile per
+distinct width.  Bucketing pads every frame to a small static set of
+widths and treats the TRUE size as a runtime scalar — one compile per
+bucket, predictions bit-identical to the unpadded run on the valid
+region.
+
+Exactness argument (tests/test_masked_eval.py proves it end to end):
+  * convs: if the padded cols/rows of the INPUT are zero, a zero-padding
+    conv's output on the valid region equals the unpadded run's output
+    (the taps that reach padded cols read zeros — exactly what SAME
+    padding would have supplied at the true boundary).  Re-zeroing after
+    every Conv/BatchNorm (whose affine shifts zeros) maintains the
+    invariant; ``mask_interceptor`` does this via flax's method
+    interception, so NO model code changes are needed for the trunk.
+  * valid sizes at any feature map follow the ratio rule
+    ceil(valid_in * size_feat / size_pad) — exact for the stride
+    pyramid as long as the bucket is a multiple of the total stride
+    (32 covers every encoder here).
+  * global ops (adaptive pooling, bilinear resize) cannot be fixed by
+    masking alone: their torch bin/sample positions depend on the TRUE
+    size.  Because this framework already computes them as dense
+    matrices on the MXU (ops/pooling.py, ops/interpolate.py), the masked
+    variants below build the SAME matrices at static padded shapes from
+    runtime-valid sizes — integer bin math is exact; interpolation
+    source positions use exact integer floor-division so tap indices
+    match the f64 host computation bit for bit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def ceil_div(a, b):
+    return -((-a) // b)
+
+
+def feature_valid(hf: int, wf: int, valid_hw, pad_hw):
+    """Valid (rows, cols) of an [*, hf, wf, C] feature map derived from the
+    input-resolution valid/padded sizes (ratio rule)."""
+    hv, wv = valid_hw
+    hp, wp = pad_hw
+    return ceil_div(hv * hf, hp), ceil_div(wv * wf, wp)
+
+
+def mask_valid(x: jnp.ndarray, valid_hw) -> jnp.ndarray:
+    """Zero rows/cols at-or-beyond the (traced) valid sizes of [N,H,W,C]."""
+    hv, wv = valid_hw
+    h, w = x.shape[1], x.shape[2]
+    mh = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) < hv
+    mw = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) < wv
+    return jnp.where((mh & mw)[None, :, :, None], x, jnp.zeros((), x.dtype))
+
+
+def _linear_weights_rt(in_pad: int, out_pad: int, in_valid, out_valid,
+                       align_corners: bool) -> jnp.ndarray:
+    """[out_pad, in_pad] torch-linear-interp matrix for RUNTIME sizes.
+
+    Matches ops/interpolate._linear_weights(in_valid, out_valid) on the
+    top-left [out_valid, in_valid] block; zero elsewhere.  Source
+    positions use exact integer floor-division, so tap indices are exact;
+    only the fractional weight is a (single) f32 rounding."""
+    rows = jnp.arange(out_pad, dtype=jnp.int32)[:, None]       # [O, 1]
+    cols = jnp.arange(in_pad, dtype=jnp.int32)[None, :]        # [1, I]
+    inv = jnp.asarray(in_valid, jnp.int32)
+    outv = jnp.asarray(out_valid, jnp.int32)
+    if align_corners:
+        den = jnp.maximum(outv - 1, 1)
+        num = rows * (inv - 1)
+    else:
+        den = 2 * outv
+        num = jnp.maximum((2 * rows + 1) * inv - outv, 0)
+    x0 = jnp.minimum(num // den, inv - 1)
+    x1 = jnp.minimum(x0 + 1, inv - 1)
+    lam = ((num - x0 * den).astype(jnp.float32)
+           / den.astype(jnp.float32))
+    w = ((cols == x0) * (1.0 - lam) + (cols == x1) * lam)
+    return jnp.where(rows < outv, w, 0.0)
+
+
+def resize_bilinear_rt(x: jnp.ndarray, out_pad_hw, in_valid_hw,
+                       out_valid_hw, align_corners: bool = False):
+    """Bilinear resize of masked [N,H,W,C] to static ``out_pad_hw`` whose
+    valid region equals resize(x_valid, out_valid_hw) exactly; rows/cols
+    beyond out_valid are zero."""
+    oh, ow = out_pad_hw
+    n, h, w, c = x.shape
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    wh = _linear_weights_rt(h, oh, in_valid_hw[0], out_valid_hw[0],
+                            align_corners)
+    xf = jnp.einsum("oh,nhwc->nowc", wh, xf)
+    ww = _linear_weights_rt(w, ow, in_valid_hw[1], out_valid_hw[1],
+                            align_corners)
+    xf = jnp.einsum("ow,nhwc->nhoc", ww, xf)
+    return xf.astype(dt)
+
+
+def _adaptive_pool_weights_rt(in_pad: int, out_size: int,
+                              in_valid) -> jnp.ndarray:
+    """[out_size, in_pad] torch adaptive-avg-pool bin matrix over the
+    RUNTIME valid prefix (exact integer bin math)."""
+    rows = jnp.arange(out_size, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(in_pad, dtype=jnp.int32)[None, :]
+    inv = jnp.asarray(in_valid, jnp.int32)
+    start = (rows * inv) // out_size
+    end = ceil_div((rows + 1) * inv, out_size)
+    inside = (cols >= start) & (cols < end)
+    return inside / (end - start).astype(jnp.float32)
+
+
+def adaptive_avg_pool2d_rt(x: jnp.ndarray, output_size,
+                           in_valid_hw) -> jnp.ndarray:
+    """Adaptive average pool of masked [N,H,W,C] over its valid region to
+    a STATIC (out_h, out_w) — equals pooling the unpadded tensor."""
+    if isinstance(output_size, int):
+        output_size = (output_size, output_size)
+    n, h, w, c = x.shape
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    wh = _adaptive_pool_weights_rt(h, output_size[0], in_valid_hw[0])
+    xf = jnp.einsum("oh,nhwc->nowc", wh, xf)
+    ww = _adaptive_pool_weights_rt(w, output_size[1], in_valid_hw[1])
+    xf = jnp.einsum("ow,nhwc->nhoc", ww, xf)
+    return xf.astype(dt)
+
+
+def global_avg_pool_rt(x: jnp.ndarray, in_valid_hw,
+                       keepdims: bool = True) -> jnp.ndarray:
+    hv, wv = in_valid_hw
+    s = jnp.sum(x.astype(jnp.float32), axis=(1, 2), keepdims=keepdims)
+    area = jnp.asarray(hv, jnp.float32) * jnp.asarray(wv, jnp.float32)
+    return (s / area).astype(x.dtype)
+
+
+#: modules whose input AND output are re-zeroed on the padded region.
+#: Convs are the spatial mixers; BatchNorm's affine shifts zeros to
+#: nonzero garbage that would otherwise leak through relu into the stem
+#: maxpool (max of non-negative values, where masked zeros == the real
+#: -inf edge padding) at odd valid widths.  Masking every module boundary
+#: keeps the valid region exact no matter what elementwise/pool functions
+#: run in between.  Matching by class name avoids an import cycle with
+#: models.layers.
+_MASKED_MODULE_NAMES = frozenset({"Conv", "_Conv", "ConvLocal",
+                                  "BatchNorm2d", "BatchNorm"})
+
+
+def mask_interceptor(valid_hw, pad_hw):
+    """flax ``intercept_methods`` interceptor that re-zeros the padded
+    region at every Conv/BatchNorm boundary (input and output), keeping
+    the zero-padding invariant through an arbitrary conv trunk with NO
+    model changes.  Trunk outputs are already masked; consumers still
+    ``mask_valid`` explicitly before global ops for modules that end on a
+    bare function.
+
+    Use:  ``with nn.intercept_methods(mask_interceptor(vhw, phw)): ...``
+    """
+    def _mask(x):
+        if isinstance(x, jnp.ndarray) and x.ndim == 4:
+            hf, wf = x.shape[1], x.shape[2]
+            return mask_valid(x, feature_valid(hf, wf, valid_hw, pad_hw))
+        return x
+
+    def interceptor(next_fun, args, kwargs, context):
+        if (type(context.module).__name__ not in _MASKED_MODULE_NAMES
+                or context.method_name != "__call__"):
+            return next_fun(*args, **kwargs)
+        if args:
+            args = (_mask(args[0]),) + args[1:]
+        return _mask(next_fun(*args, **kwargs))
+
+    return interceptor
+
+
+def bucket_size(size: int, multiple: int = 64) -> int:
+    """Smallest multiple of ``multiple`` >= size (the compile-count bound
+    is the number of distinct bucketed shapes)."""
+    return ceil_div(size, multiple) * multiple
+
+
+def pad_to(img, pad_hw):
+    """Zero-pad [H,W,C] or [N,H,W,C] bottom/right to ``pad_hw``."""
+    hp, wp = pad_hw
+    h, w = (img.shape[0], img.shape[1]) if img.ndim == 3 \
+        else (img.shape[1], img.shape[2])
+    pads = ((0, hp - h), (0, wp - w), (0, 0))
+    if img.ndim == 4:
+        pads = ((0, 0),) + pads
+    return jnp.pad(jnp.asarray(img), pads)

@@ -18,7 +18,81 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from .models.segmentation import inference_pred
+from .models.segmentation import inference_pred, inference_pred_rt
+from .ops.masked import bucket_size, feature_valid, pad_to
+
+
+class ClipPSPBucketEngine:
+    """Width-bucketed compiled kernels for ClipPSP streaming eval, shared
+    across ALL videos of an eval run.
+
+    VSPW-480p val is 480 x variable-width (reference: dataset2.py:34-141);
+    a per-shape jit pays one multi-minute XLA compile per distinct width
+    through the axon tunnel.  This engine pads every frame to the next
+    ``bucket`` multiple, passes the TRUE size as runtime scalars into the
+    masked model paths (ops/masked.py), and caches ONE compiled
+    encode/fuse pair per bucket — predictions on the valid region are
+    bit-identical to the unpadded run (tests/test_masked_eval.py).
+
+    ``len(engine.encode_shapes)`` == number of compiles == number of
+    distinct buckets touched.
+    """
+
+    def __init__(self, model, variables, bucket: int = 64):
+        assert bucket % 32 == 0, "bucket must cover the encoder stride (32)"
+        self.model = model
+        self.variables = variables
+        self.bucket = bucket
+        self._encode = {}
+        self._fuse = {}
+
+    @property
+    def encode_shapes(self):
+        return sorted(self._encode)
+
+    def pad_hw(self, h: int, w: int) -> tuple[int, int]:
+        return bucket_size(h, self.bucket), bucket_size(w, self.bucket)
+
+    def encode(self, frame):
+        """frame: [H, W, 3] normalized → (C5, pooled stats) of the TRUE
+        frame (C5 padded on the bucket grid, zero beyond its valid size)."""
+        h, w = frame.shape[:2]
+        key = self.pad_hw(h, w)
+        fn = self._encode.get(key)
+        if fn is None:
+            model, variables = self.model, self.variables
+
+            @jax.jit
+            def fn(imgp, hv, wv):
+                return model.apply(variables, imgp, train=False,
+                                   valid_hw=(hv, wv),
+                                   method=model.encode_frame)
+
+            self._encode[key] = fn
+        imgp = pad_to(jnp.asarray(frame)[None], key)
+        return fn(imgp, jnp.int32(h), jnp.int32(w))
+
+    def fuse(self, c5_t, blended, true_hw):
+        """Fuse + argmax at the TRUE resolution ``true_hw`` (the eval
+        output size == the input frame size).  Returns [H, W] uint8."""
+        h, w = true_hw
+        key = self.pad_hw(h, w)
+        fn = self._fuse.get(key)
+        if fn is None:
+            model, variables = self.model, self.variables
+
+            @jax.jit
+            def fn(c5_t, blended, hv, wv):
+                fh, fw = c5_t.shape[1:3]
+                fv = feature_valid(fh, fw, (hv, wv), key)
+                logits = model.apply(variables, c5_t, blended, train=False,
+                                     feat_valid=fv,
+                                     method=model.fuse_target)
+                return inference_pred_rt((logits,), key, fv, (hv, wv))
+
+            self._fuse[key] = fn
+        pred = fn(c5_t, blended, jnp.int32(h), jnp.int32(w))
+        return np.asarray(pred)[0, :h, :w]
 
 
 class _WindowStreamer:
@@ -26,12 +100,13 @@ class _WindowStreamer:
     member's cached stats are available."""
 
     def __init__(self, model, variables, dilation2, num_frames: int,
-                 seg_size):
+                 seg_size, engine=None):
         self.model = model
         self.variables = variables
         self.dilation2 = list(dilation2)
         self.n = num_frames
         self.seg_size = tuple(seg_size)
+        self.engine = engine
         self._encode, self._fuse = self._build(model, variables)
 
     def context_indices(self, i: int) -> list[int]:
@@ -77,6 +152,19 @@ class ClipPSPStreamer(_WindowStreamer):
 
     def _build(self, model, variables):
         self._psp_weight = bool(getattr(model, "psp_weight", False))
+
+        if self.engine is not None:
+            # width-bucketed masked kernels shared across videos — one
+            # compile per bucket instead of per distinct width
+            eng = self.engine
+
+            def encode(img):
+                return eng.encode(np.asarray(img)[0])
+
+            def fuse(c5_t, blended):
+                return eng.fuse(c5_t, blended, self.seg_size)[None]
+
+            return encode, fuse
 
         @jax.jit
         def encode(img):

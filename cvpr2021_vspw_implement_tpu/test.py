@@ -41,8 +41,19 @@ def build_eval_parser():
     parser.add_argument("--lesslabel", action="store_true")
     parser.add_argument("--use_720p", action="store_true")
     parser.add_argument("--max_videos", type=int, default=0)
+    parser.add_argument("--width_bucket", type=int, default=64,
+                        help="pad eval frames to multiples of this and "
+                             "reuse one compiled kernel per bucket "
+                             "(ops/masked.py; 0 = compile per distinct "
+                             "shape); predictions are bit-identical")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return parser
+
+
+#: decoder/encoder families with masked width-bucketed eval support
+#: (hrnet's cross-resolution fusion resizes are not yet runtime-masked)
+BUCKETED_DECODERS = {"c1", "c1_deepsup", "ppm", "ppm_deepsup"}
+UNBUCKETED_ENCODERS = ("hrnet",)
 
 
 def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
@@ -98,10 +109,39 @@ def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
     from .models.pipeline import maybe_unpipeline
     variables = maybe_unpipeline(variables)
 
-    @jax.jit
-    def infer(img):
-        outs = model.apply(variables, img, train=False)
-        return inference_pred(outs, img.shape[1:3])
+    bucket = getattr(args, "width_bucket", 0)
+    if (bucket and cfg.MODEL.arch_decoder.lower() in BUCKETED_DECODERS
+            and not cfg.MODEL.arch_encoder.lower().startswith(
+                UNBUCKETED_ENCODERS)):
+        # width-bucketed masked eval: one compile per bucket, predictions
+        # bit-identical to the per-shape path (tests/test_masked_eval.py)
+        from .models.segmentation import inference_pred_rt
+        from .ops.masked import bucket_size, feature_valid, pad_to
+
+        _cache = {}
+
+        def infer(img):
+            h, w = img.shape[1:3]
+            key = (bucket_size(h, bucket), bucket_size(w, bucket))
+            fn = _cache.get(key)
+            if fn is None:
+                @jax.jit
+                def fn(imgp, hv, wv):
+                    outs = model.apply(variables, imgp, train=False,
+                                       valid_hw=(hv, wv))
+                    logits = outs[0]
+                    fv = feature_valid(logits.shape[1], logits.shape[2],
+                                       (hv, wv), key)
+                    return inference_pred_rt((logits,), key, fv, (hv, wv))
+
+                _cache[key] = fn
+            pred = fn(pad_to(img, key), jnp.int32(h), jnp.int32(w))
+            return pred[:, :h, :w]
+    else:
+        @jax.jit
+        def infer(img):
+            outs = model.apply(variables, img, train=False)
+            return inference_pred(outs, img.shape[1:3])
 
     evaluator = Evaluator(args.num_class)
     vmiou = {}

@@ -67,6 +67,11 @@ def build_eval_clip_parser():
     p.add_argument("--temp", type=float, default=3)
     p.add_argument("--max_distances", type=str, default="10")
     p.add_argument("--max_videos", type=int, default=0)
+    p.add_argument("--width_bucket", type=int, default=64,
+                   help="pad eval frames to multiples of this and reuse "
+                        "one compiled kernel per bucket across videos "
+                        "(ops/masked.py; 0 = compile per distinct shape); "
+                        "predictions are bit-identical either way")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return p
 
@@ -253,13 +258,20 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
         dil = args.dilation2
         dilation2 = [int(d) for d in dil.split(",")] \
             if isinstance(dil, str) else list(dil)
+        # width-bucketed masked kernels shared across videos: one compile
+        # per bucket instead of per distinct video shape (clip_psp only)
+        engine = None
+        if getattr(args, "width_bucket", 0) and args.method == "clip_psp":
+            from .serving import ClipPSPBucketEngine
+            engine = ClipPSPBucketEngine(model, variables,
+                                         bucket=args.width_bucket)
         for video in videos:
             ds = TestFrameDataset(args.dataroot, video, args)
             eval_video = Evaluator(args.num_class)
             items = [ds[i] for i in range(len(ds))]
             h0, w0 = items[0][0].shape[:2]
             streamer = stream_cls(model, variables, dilation2,
-                                  len(ds), (h0, w0))
+                                  len(ds), (h0, w0), engine=engine)
             gt_list = [it[1] for it in items]
             pred_list = [None] * len(ds)
             for i, pred in streamer.run(it[0] for it in items):

@@ -1,0 +1,142 @@
+"""Width-bucketed masked eval == exact unpadded eval.
+
+SURVEY §7 hard-part 4 / VERDICT r2 item 2: VSPW-480p val is 480 x
+variable-width, so eval must compile O(buckets), not O(distinct widths),
+with bit-identical predictions.  These tests prove the op-level building
+blocks and the end-to-end model paths on synthetic multi-width inputs,
+and assert the compile count."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from cvpr2021_vspw_implement_tpu.ops import interpolate, pooling
+from cvpr2021_vspw_implement_tpu.ops.masked import (
+    adaptive_avg_pool2d_rt, bucket_size, feature_valid, global_avg_pool_rt,
+    mask_interceptor, mask_valid, pad_to, resize_bilinear_rt)
+
+
+@pytest.mark.parametrize("in_hw,out_hw,ac", [
+    ((30, 53), (60, 106), False),
+    ((30, 53), (60, 106), True),
+    ((17, 29), (480, 853), False),
+    ((64, 96), (17, 23), False),   # downsample
+    ((1, 7), (8, 15), False),      # degenerate in_size=1 rows
+])
+def test_resize_rt_matches_static(in_hw, out_hw, ac):
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((2, *in_hw, 5)).astype(np.float32)
+    want = interpolate.resize_bilinear(jnp.asarray(x), out_hw,
+                                       align_corners=ac)
+    in_pad = (bucket_size(in_hw[0], 8), bucket_size(in_hw[1], 8))
+    out_pad = (bucket_size(out_hw[0], 8), bucket_size(out_hw[1], 8))
+    xp = pad_to(jnp.asarray(x), in_pad)
+    got = resize_bilinear_rt(xp, out_pad, in_hw, out_hw, align_corners=ac)
+    got = got[:, :out_hw[0], :out_hw[1]]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+    # padded region is exactly zero
+    full = resize_bilinear_rt(xp, out_pad, in_hw, out_hw, align_corners=ac)
+    assert float(jnp.abs(full[:, out_hw[0]:]).max(initial=0.0)) == 0.0
+    assert float(jnp.abs(full[:, :, out_hw[1]:]).max(initial=0.0)) == 0.0
+
+
+@pytest.mark.parametrize("in_hw,scale", [((60, 107), 1), ((60, 107), 2),
+                                         ((60, 107), 6), ((13, 21), 3)])
+def test_adaptive_pool_rt_matches_static(in_hw, scale):
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, *in_hw, 7)).astype(np.float32)
+    want = pooling.adaptive_avg_pool2d(jnp.asarray(x), scale)
+    in_pad = (bucket_size(in_hw[0], 16), bucket_size(in_hw[1], 16))
+    got = adaptive_avg_pool2d_rt(pad_to(jnp.asarray(x), in_pad), scale,
+                                 in_hw)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               atol=1e-5, rtol=1e-5)
+
+
+def test_global_pool_rt():
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((3, 11, 19, 4)).astype(np.float32)
+    want = np.mean(x, axis=(1, 2), keepdims=True)
+    got = global_avg_pool_rt(pad_to(jnp.asarray(x), (16, 24)), (11, 19))
+    np.testing.assert_allclose(np.asarray(got), want, atol=1e-5, rtol=1e-5)
+
+
+def test_interceptor_keeps_resnet_trunk_exact():
+    """Masked padded encoder forward == unpadded forward on the valid
+    region (eval mode, running BN stats)."""
+    from flax import linen as nn
+
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    h, w = 64, 96
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    want = enc.apply(variables, img, train=False)[-1]
+
+    pad_hw = (96, 128)
+    imgp = pad_to(img, pad_hw)
+    with nn.intercept_methods(mask_interceptor((h, w), pad_hw)):
+        gotp = enc.apply(variables, imgp, train=False)[-1]
+    hf, wf = gotp.shape[1:3]
+    hv, wv = feature_valid(hf, wf, (h, w), pad_hw)
+    hv, wv = int(hv), int(wv)
+    assert (hv, wv) == tuple(want.shape[1:3])
+    np.testing.assert_allclose(np.asarray(gotp[:, :hv, :wv]),
+                               np.asarray(want), atol=1e-4, rtol=1e-4)
+    # consumers re-mask before global ops: masked output is exact + zero pad
+    masked = mask_valid(gotp, (hv, wv))
+    assert float(jnp.abs(masked[:, hv:]).max(initial=0.0)) == 0.0
+
+
+def test_bucketed_clip_psp_streaming_exact_and_compile_count():
+    """Bucketed streaming eval == exact per-width streaming eval on
+    synthetic multi-width videos, with one compiled encode/fuse pair per
+    bucket (NOT per distinct width)."""
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.clip_psp import ClipPSP
+    from cvpr2021_vspw_implement_tpu.serving import (ClipPSPBucketEngine,
+                                                     ClipPSPStreamer)
+
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    model = ClipPSP(encoder=enc, num_class=7, fc_dim=512)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((4, 1, 32, 32, 3), jnp.float32),
+                           train=False)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    rng = np.random.default_rng(5)
+    # three videos, three widths, TWO buckets (64->64, 72->96, 90->96)
+    videos = [[rng.standard_normal((48, w, 3)).astype(np.float32)
+               for _ in range(5)] for w in (64, 72, 90)]
+    dilation2 = [1, 2]
+
+    engine = ClipPSPBucketEngine(model, variables, bucket=32)
+    for frames in videos:
+        hw = frames[0].shape[:2]
+        exact = dict(ClipPSPStreamer(model, variables, dilation2,
+                                     len(frames), hw).run(iter(frames)))
+        bucketed = dict(ClipPSPStreamer(model, variables, dilation2,
+                                        len(frames), hw,
+                                        engine=engine).run(iter(frames)))
+        assert exact.keys() == bucketed.keys()
+        for i in exact:
+            mismatch = np.mean(exact[i] != bucketed[i])
+            assert mismatch == 0.0, (hw, i, mismatch)
+    assert engine.encode_shapes == [(64, 64), (64, 96)]  # 2 buckets, 3 widths
+
+
+def test_mask_valid_traced_sizes():
+    x = jnp.ones((1, 8, 8, 2))
+
+    @jax.jit
+    def f(hv, wv):
+        return mask_valid(x, (hv, wv))
+
+    out = f(jnp.int32(3), jnp.int32(5))
+    assert float(jnp.sum(out)) == 3 * 5 * 2
