@@ -305,6 +305,184 @@ def main():
     except Exception:
         pass
 
+    def timed_stream(step, carry0, frames, n_frames):
+        """Best-of-3 wall time of a jitted scan over distinct frames →
+        (frames/sec, seconds, per-step flops fn input)."""
+        @jax.jit
+        def run(frames, c0):
+            c, sums = jax.lax.scan(step, c0, frames)
+            return jnp.sum(sums)
+
+        float(run(frames, carry0))
+        best = float("inf")
+        for _trial in range(3):
+            start = time.perf_counter()
+            float(run(frames, carry0))
+            best = min(best, time.perf_counter() - start)
+        return n_frames / best, best
+
+    # ------- 5. ClipOCR streaming (region-context blend; memory-free) ------
+    clipocr_fps = clipocr_mfu = clipocr4_fps = None
+    try:
+        from cvpr2021_vspw_implement_tpu.models.clip_ocr import ClipOCRNet
+        oenc = ModelBuilder.build_encoder("resnet101dilated",
+                                          dtype=jnp.bfloat16)
+        omodel = ClipOCRNet(encoder=oenc, num_class=124,
+                            dtype=jnp.bfloat16)
+        with jax.default_device(jax.devices("cpu")[0]):
+            ovars = omodel.init({"params": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(1)},
+                                jnp.zeros((4, 1, 64, 64, 3), jnp.float32),
+                                train=False)
+        ovars = jax.device_put(
+            {"params": ovars["params"],
+             "batch_stats": ovars.get("batch_stats", {})}, dev)
+
+        def ocr_step(ctx_prev, img):
+            feat, ctx = omodel.apply(ovars, img, train=False,
+                                     method=omodel.encode_frame)
+            blended = jnp.mean(jnp.stack([ctx, ctx_prev]), 0)
+            logits = omodel.apply(ovars, feat, blended, train=False,
+                                  method=omodel.fuse_target)
+            pred = inference_pred((logits,), (h, w))
+            return ctx, jnp.sum(pred[:, ::97, ::97].astype(jnp.int32))
+
+        ctx0 = jnp.zeros((1, 124, 512), jnp.bfloat16)
+        clipocr_fps, dt = timed_stream(ocr_step, ctx0, frames, N)
+        fl = _flops_of(jax.jit(ocr_step).lower(ctx0, frames[0]).compile())
+        clipocr_mfu = fl * N / dt / peak if fl else None
+        ctx04 = jnp.zeros((B4, 124, 512), jnp.bfloat16)
+        clipocr4_fps, _ = timed_stream(ocr_step, ctx04, frames4, N * B4)
+    except Exception:
+        pass
+
+    # ------- 6. TDNet streaming (K/V/Q carry, rotating paths) --------------
+    tdnet_fps = tdnet_mfu = tdnet4_fps = None
+    try:
+        from cvpr2021_vspw_implement_tpu.models.td4_psp import (
+            TD4PSP, init_td4_state)
+        tmodel = TD4PSP(num_class=124, dtype=jnp.bfloat16)
+        with jax.default_device(jax.devices("cpu")[0]):
+            tvars2 = tmodel.init(
+                {"params": jax.random.PRNGKey(0),
+                 "dropout": jax.random.PRNGKey(1)},
+                jnp.zeros((4, 1, 64, 64, 3), jnp.float32), train=True)
+        tvars2 = jax.device_put(
+            {"params": tvars2["params"],
+             "batch_stats": tvars2.get("batch_stats", {})}, dev)
+
+        tdfns = [jax.jit(lambda img, st, p=p: tmodel.apply(
+            tvars2, img, pos_id=p, state=st)) for p in range(4)]
+
+        def os8(x):
+            for _ in range(3):
+                x = (x - 1) // 2 + 1
+            return x
+
+        fh, fw = os8(h), os8(w)
+        tokens = (-(-fh // 3)) * (-(-fw // 3))
+
+        def run_td(frames, st):
+            # accumulate on device; single scalar readback at the end
+            # (block_until_ready does not sync through the axon tunnel)
+            tot = None
+            for i in range(frames.shape[0]):
+                out, st = tdfns[i % 4](frames[i], st)
+                s = jnp.sum(out[:, ::31, ::31].astype(jnp.float32))
+                tot = s if tot is None else tot + s
+            return float(tot)
+
+        st0 = init_td4_state(batch=1, tokens=tokens)
+        run_td(frames, st0)
+        best = float("inf")
+        for _trial in range(3):
+            start = time.perf_counter()
+            run_td(frames, st0)
+            best = min(best, time.perf_counter() - start)
+        tdnet_fps = N / best
+        fl = _flops_of(tdfns[0].lower(frames[0], st0).compile())
+        tdnet_mfu = fl * N / best / peak if fl else None
+        st04 = init_td4_state(batch=B4, tokens=tokens)
+        run_td(frames4, st04)
+        best4 = float("inf")
+        for _trial in range(3):
+            start = time.perf_counter()
+            run_td(frames4, st04)
+            best4 = min(best4, time.perf_counter() - start)
+        tdnet4_fps = N * B4 / best4
+    except Exception:
+        pass
+
+    # ------- 7. ETC window inference (eval = per-window forward) -----------
+    etc_fps = etc_mfu = None
+    try:
+        from cvpr2021_vspw_implement_tpu.models.etc import ETC
+        eenc = ModelBuilder.build_encoder("resnet101dilated",
+                                          dtype=jnp.bfloat16)
+        emodel = ETC(encoder=eenc, num_class=124, fc_dim=2048,
+                     dtype=jnp.bfloat16)
+        with jax.default_device(jax.devices("cpu")[0]):
+            evars = emodel.init({"params": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(1)},
+                                jnp.zeros((2, 1, 64, 64, 3), jnp.float32),
+                                train=False)
+        evars = jax.device_put(
+            {"params": evars["params"],
+             "batch_stats": evars.get("batch_stats", {})}, dev)
+
+        def etc_step(_, win):
+            outs = emodel.apply(evars, win, train=False)
+            pred = inference_pred(outs, (h, w))
+            return 0, jnp.sum(pred[0, ::97, ::97].astype(jnp.int32))
+
+        wins = jnp.asarray(rng.standard_normal(
+            (M, 2, 1, h, w, 3)).astype(np.float32))
+        etc_fps, dt = timed_stream(etc_step, 0, wins, M)
+        fl = _flops_of(jax.jit(etc_step).lower(0, wins[0]).compile())
+        etc_mfu = fl * M / dt / peak if fl else None
+    except Exception:
+        pass
+
+    # ------- 8. OCR-head microbench (reference's own harness shape:
+    # models/ocr_modules/spatial_ocr_block.py:470-517 — conv3x3 2048→512 +
+    # SpatialGather + SpatialOCR at 128x128, batch 1) ----------------------
+    ocr_head_ms = None
+    try:
+        from cvpr2021_vspw_implement_tpu.models.ocr import (SpatialOCR,
+                                                            spatial_gather)
+        from flax import linen as nn_
+
+        class _OcrMicro(nn_.Module):
+            @nn_.compact
+            def __call__(self, feats, probs):
+                x = nn_.Conv(512, (3, 3), padding=1,
+                             dtype=jnp.bfloat16)(feats)
+                ctx = spatial_gather(x, probs)
+                return SpatialOCR(512, 256, 512, dropout=0.0,
+                                  dtype=jnp.bfloat16)(x, ctx, False)
+
+        feats = jnp.asarray(rng.standard_normal(
+            (1, 128, 128, 2048)).astype(np.float32), jnp.bfloat16)
+        probs = jnp.asarray(rng.standard_normal(
+            (1, 128, 128, 19)).astype(np.float32), jnp.bfloat16)
+        om = _OcrMicro()
+        omv = om.init(jax.random.PRNGKey(0), feats, probs)
+
+        @jax.jit
+        def ocr_micro(feats, probs):
+            return jnp.sum(om.apply(omv, feats, probs)
+                           .astype(jnp.float32))
+
+        float(ocr_micro(feats, probs))
+        best = float("inf")
+        for _trial in range(100):
+            start = time.perf_counter()
+            float(ocr_micro(feats, probs))
+            best = min(best, time.perf_counter() - start)
+        ocr_head_ms = round(best * 1e3, 3)
+    except Exception:
+        pass
+
     rnd = lambda x, n=4: (round(x, n) if isinstance(x, float) else x)
     print(json.dumps({
         "metric": "tcb_psp_r101_480p_streaming_inference",
@@ -324,6 +502,16 @@ def main():
         "train_shape": "T+1=4 x B=2 x 479x479 (run_temporal_psp.sh/chip)",
         "train_b4_ms_per_2_samples": train_b4_ms_per2,
         "netwarp_train_step_ms": netwarp_ms,
+        # per-method serving matrix (all on the same chip, bf16, 480x853)
+        "clipocr_frames_per_sec": rnd(clipocr_fps, 3),
+        "clipocr_mfu": rnd(clipocr_mfu),
+        "clipocr_stream4_frames_per_sec": rnd(clipocr4_fps, 3),
+        "tdnet_frames_per_sec": rnd(tdnet_fps, 3),
+        "tdnet_mfu": rnd(tdnet_mfu),
+        "tdnet_stream4_frames_per_sec": rnd(tdnet4_fps, 3),
+        "etc_windows_per_sec": rnd(etc_fps, 3),
+        "etc_mfu": rnd(etc_mfu),
+        "ocr_head_ms": ocr_head_ms,
         "device": getattr(dev, "device_kind", str(dev)),
         "peak_tflops_bf16": peak / 1e12,
     }))

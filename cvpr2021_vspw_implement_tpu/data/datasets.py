@@ -103,6 +103,21 @@ def dilation_lists(frames: Sequence[str], num: int) -> list[list[str]]:
 SCALES = (0.8, 1.0, 1.5, 2.0)
 
 
+def _item_rng_handles(args, seed, epoch: int, idx: int):
+    """Per-(epoch, item) RNG pair for history-free augmentation draws.
+
+    A stateful stream ties each item's augmentation to everything consumed
+    before it, which makes step-exact preemption resume impossible without
+    replaying the whole history.  Seeding per (seed, epoch, index) keeps
+    draws random across epochs AND reproducible from any resume point
+    (tests/test_resume.py).  ``refrng`` keeps the reference's stateful
+    global streams (draw-for-draw parity, tests/test_refrng.py)."""
+    if getattr(args, "refrng", False):
+        return random, np.random
+    mix = (seed or 0) * 1_000_003 + epoch * 65_537 + idx
+    return random.Random(mix), np.random.default_rng(mix)
+
+
 def _rng_handles(args, seed):
     """RNG pair (python-random-like, numpy-random-like).
 
@@ -168,6 +183,8 @@ class FrameDataset:
         self.cropsize = (480, 720) if getattr(args, "train_filter", False) \
             else (args.cropsize, args.cropsize)
         trainfps = 1 if split == "val" else args.trainfps
+        self.seed = seed or 0
+        self.epoch = 0
         self.rng, self.nprng = _rng_handles(args, seed)
 
         self.imglist: list[tuple[str, str]] = []
@@ -180,19 +197,25 @@ class FrameDataset:
     def __len__(self):
         return len(self.imglist)
 
+    def set_epoch(self, epoch: int):
+        """Key per-item augmentation RNG by epoch (called by the loader)."""
+        self.epoch = int(epoch)
+
     def __getitem__(self, idx):
         video, name = self.imglist[idx]
         img, mask = load_frame(self.dataroot, video, name,
                                getattr(self.args, "lesslabel", False))
+        rng, nprng = _item_rng_handles(self.args, self.seed, self.epoch,
+                                       int(idx))
         if self.split == "train":
-            flip = bool(self.nprng.choice([0, 1]))
-            scale = float(self.nprng.choice(SCALES)) \
+            flip = bool(nprng.choice([0, 1]))
+            scale = float(nprng.choice(SCALES)) \
                 if getattr(self.args, "multi_scale", False) else 1.0
             img, mask = _augment_frame(img, mask, flip, scale)
         arr = np.asarray(img)  # stays uint8 through crop (native fast path)
         lab = remap_label(np.asarray(mask))
         if self.split == "train":
-            [arr], [lab] = _pad_crop_clip([arr], [lab], self.cropsize, self.rng)
+            [arr], [lab] = _pad_crop_clip([arr], [lab], self.cropsize, rng)
         return normalize_image(arr), lab
 
 

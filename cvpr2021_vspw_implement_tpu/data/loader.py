@@ -58,6 +58,10 @@ class PrefetchLoader:
     def __iter__(self) -> Iterator:
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         batches = list(self._index_batches())
+        if hasattr(self.dataset, "set_epoch"):
+            # key per-item augmentation draws by epoch (exact mid-epoch
+            # preemption resume — see datasets._item_rng_handles)
+            self.dataset.set_epoch(self.epoch)
         self.epoch += 1
 
         def worker():

@@ -311,12 +311,68 @@ class FlowPairDataset:
         return img1, img2, flow, out_valid
 
 
-def flying_chairs(root: str, augmentor=None):
-    """FlyingChairs layout: data/NNNNN_img{1,2}.ppm + NNNNN_flow.flo."""
+def flying_chairs(root: str, augmentor=None, split: str | None = None):
+    """FlyingChairs layout: data/NNNNN_img{1,2}.ppm + NNNNN_flow.flo.
+
+    ``split`` = 'training'/'validation' applies the official
+    chairs_split.txt (1 = train, 2 = val; reference:
+    RAFT_core/datasets.py:121-134, file looked up in ``root`` then its
+    parent); None uses every pair."""
     flows = sorted(glob.glob(os.path.join(root, "data", "*_flow.flo")))
     trips = [(f.replace("_flow.flo", "_img1.ppm"),
               f.replace("_flow.flo", "_img2.ppm"), f) for f in flows]
+    if split is not None:
+        for cand in (os.path.join(root, "chairs_split.txt"),
+                     os.path.join(os.path.dirname(root.rstrip("/")),
+                                  "chairs_split.txt")):
+            if os.path.exists(cand):
+                ids = np.loadtxt(cand, dtype=np.int32)
+                want = 1 if split == "training" else 2
+                trips = [t for t, x in zip(trips, ids) if x == want]
+                break
+        else:
+            raise FileNotFoundError(
+                f"chairs_split.txt not found near {root} (required for "
+                f"split={split!r})")
     return FlowPairDataset(trips, augmentor)
+
+
+def flying_things(root: str, dstype: str = "frames_cleanpass",
+                  augmentor=None):
+    """FlyingThings3D layout (reference: RAFT_core/datasets.py:137-158):
+    <dstype>/TRAIN/*/*/left/*.png paired with
+    optical_flow/TRAIN/*/*/into_{future,past}/left/*.pfm."""
+    from .frame_utils import read_pfm
+
+    trips = []
+    for direction in ("into_future", "into_past"):
+        image_dirs = sorted(glob.glob(os.path.join(root, dstype,
+                                                   "TRAIN", "*", "*")))
+        image_dirs = sorted(os.path.join(d, "left") for d in image_dirs)
+        flow_dirs = sorted(glob.glob(os.path.join(root, "optical_flow",
+                                                  "TRAIN", "*", "*")))
+        flow_dirs = sorted(os.path.join(d, direction, "left")
+                           for d in flow_dirs)
+        for idir, fdir in zip(image_dirs, flow_dirs):
+            images = sorted(glob.glob(os.path.join(idir, "*.png")))
+            flows = sorted(glob.glob(os.path.join(fdir, "*.pfm")))
+            for i in range(len(flows) - 1):
+                if direction == "into_future":
+                    trips.append((images[i], images[i + 1], flows[i]))
+                else:
+                    trips.append((images[i + 1], images[i], flows[i + 1]))
+
+    class _PfmDataset(FlowPairDataset):
+        def __getitem__(self, idx):
+            p1, p2, pf = self.triplets[idx]
+            img1 = np.asarray(Image.open(p1).convert("RGB"), np.float32)
+            img2 = np.asarray(Image.open(p2).convert("RGB"), np.float32)
+            flow = read_pfm(pf)[:, :, :2]
+            if self.augmentor is not None:
+                return self.augmentor(img1, img2, flow, None)
+            return img1, img2, flow, np.ones(flow.shape[:2], np.float32)
+
+    return _PfmDataset(trips, augmentor)
 
 
 def sintel(root: str, split: str = "training", dstype: str = "clean",

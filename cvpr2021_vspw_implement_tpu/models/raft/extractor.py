@@ -44,9 +44,11 @@ class _Norm(nn.Module):
         if self.norm_fn == "instance":
             return InstanceNorm(name="inorm")(x, train)
         if self.norm_fn == "batch":
-            # frozen subsystem → always running stats
+            # train=False (running stats) everywhere the flow subsystem is
+            # frozen; the chairs-stage RAFT trainer passes train=True so
+            # BN statistics update (reference: RAFT/train.py:147-148)
             return BatchNorm2d(self.features, dtype=self.dtype,
-                               name="bnorm")(x, train=False)
+                               name="bnorm")(x, train=train)
         if self.norm_fn == "group":
             return nn.GroupNorm(num_groups=self.features // 8,
                                 name="gnorm")(x)

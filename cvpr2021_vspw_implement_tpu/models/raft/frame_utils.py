@@ -29,6 +29,29 @@ def write_flo(path: str, flow: np.ndarray) -> None:
         flow.astype(np.float32).tofile(f)
 
 
+def read_pfm(path: str) -> np.ndarray:
+    """PFM image (FlyingThings3D flow storage; reference:
+    RAFT_core/utils/frame_utils.py:33-78).  Returns [H, W, C] float32 with
+    PFM's bottom-up row order flipped to top-down."""
+    with open(path, "rb") as f:
+        header = f.readline().rstrip()
+        if header == b"PF":
+            color = True
+        elif header == b"Pf":
+            color = False
+        else:
+            raise ValueError(f"not a PFM file: {path}")
+        dims = f.readline()
+        while dims.startswith(b"#"):
+            dims = f.readline()
+        w, h = (int(v) for v in dims.split())
+        scale = float(f.readline().rstrip())
+        endian = "<" if scale < 0 else ">"
+        data = np.frombuffer(f.read(), endian + "f4")
+    img = data.reshape(h, w, 3 if color else 1).astype(np.float32)
+    return np.flipud(img).copy()
+
+
 def read_kitti_png(path: str):
     """KITTI flow PNG: 16-bit BGR-stored (valid, v*64+2^15, u*64+2^15)."""
     import cv2

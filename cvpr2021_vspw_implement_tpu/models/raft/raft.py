@@ -71,19 +71,19 @@ class RAFT(nn.Module):
 
     @nn.compact
     def __call__(self, image1, image2, flow_init=None, test_mode: bool = False,
-                 return_all: bool = False):
+                 return_all: bool = False, train: bool = False):
         image1 = 2 * (image1 / 255.0) - 1.0
         image2 = 2 * (image2 / 255.0) - 1.0
 
         fnet = BasicEncoder(256, "instance", dtype=self.dtype, name="fnet")
         # shared weights over both frames, exactly like fnet([im1, im2])
         pair = jnp.concatenate([image1, image2], axis=0)
-        fmaps = fnet(pair).astype(jnp.float32)
+        fmaps = fnet(pair, train).astype(jnp.float32)
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
         pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
 
         cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch",
-                            dtype=self.dtype, name="cnet")(image1)
+                            dtype=self.dtype, name="cnet")(image1, train)
         net = jnp.tanh(cnet[..., :self.hidden_dim].astype(jnp.float32))
         inp = nn.relu(cnet[..., self.hidden_dim:].astype(jnp.float32))
 

@@ -76,7 +76,8 @@ def make_flow_train_step(model, tx, gamma: float = 0.8, batch_stats=None):
     """Jitted RAFT training step over (img1, img2, flow, valid) batches.
 
     BN runs on frozen running statistics (the reference freezes RAFT's BN
-    outside the chairs stage, RAFT/train.py:158-160)."""
+    outside the chairs stage, RAFT/train.py:158-160; use
+    ``make_flow_train_step_bn`` for the chairs stage)."""
     batch_stats = batch_stats if batch_stats is not None else {}
 
     def step(params, opt_state, batch):
@@ -94,6 +95,54 @@ def make_flow_train_step(model, tx, gamma: float = 0.8, batch_stats=None):
         return params, opt_state, metrics
 
     return jax.jit(step)
+
+
+def make_flow_train_step_bn(model, tx, gamma: float = 0.8):
+    """Chairs-stage step: BN batch statistics UPDATE during training (the
+    reference only freezes BN after the chairs stage, RAFT/train.py:147-148).
+    Signature: (params, batch_stats, opt_state, batch) →
+    (params, batch_stats, opt_state, metrics)."""
+
+    def step(params, batch_stats, opt_state, batch):
+        def loss_fn(p):
+            preds, mut = model.apply(
+                {"params": p, "batch_stats": batch_stats},
+                batch["img1"], batch["img2"], return_all=True,
+                train=True, mutable=["batch_stats"])
+            loss, metrics = sequence_loss(preds, batch["flow"],
+                                          batch["valid"], gamma)
+            return loss, (metrics, mut["batch_stats"])
+
+        (loss, (metrics, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(params)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        metrics = dict(metrics, loss=loss)
+        return params, new_stats, opt_state, metrics
+
+    return jax.jit(step)
+
+
+def validate_chairs(model, variables, dataset, iters: int | None = None):
+    """FlyingChairs validation-split EPE (reference: RAFT/evaluate.py:21-35):
+    per-pixel EPEs of the upsampled final flow pooled over the whole split,
+    then averaged.  Chairs images are 384x512 (already /8-aligned), so no
+    padding is applied — exactly like the reference."""
+    import numpy as np
+
+    @jax.jit
+    def infer(i1, i2):
+        _, flow = model.apply(variables, i1, i2, test_mode=True)
+        return flow
+
+    epes = []
+    for item in dataset:
+        img1, img2, flow_gt = item[0], item[1], item[2]
+        flow = np.asarray(infer(jnp.asarray(img1[None]),
+                                jnp.asarray(img2[None])))[0]
+        epe = np.sqrt(np.sum((flow - flow_gt) ** 2, axis=-1))
+        epes.append(epe.reshape(-1))
+    return {"chairs": float(np.mean(np.concatenate(epes)))}
 
 
 def validate_epe(model, variables, dataset, iters: int | None = None) -> float:

@@ -84,25 +84,30 @@ class SepConvGRU(nn.Module):
         if use_pallas:
             from ...ops.pallas.gru import sep_conv_gru_pass
 
+        # compute dtype covers the conv CONTRACTIONS only (like nn.Conv's
+        # dtype arg in the reference-shaped formulation); the hidden-state
+        # carry keeps its own dtype (f32 under the frozen-flow recipes) so
+        # the scan carry type is stable and the blend accumulates in f32
+        cdt = self.dtype or x.dtype
+        xc = x.astype(cdt)
         for axis, (kh, kw) in enumerate([(1, 5), (5, 1)]):
             kshape = (kh, kw, cin, hd)
             kz, bz = ConvParams(kshape, name=f"convz{axis + 1}")()
             kr, br = ConvParams(kshape, name=f"convr{axis + 1}")()
             kq, bq = ConvParams(kshape, name=f"convq{axis + 1}")()
             # fused z|r gate conv: both gates read the same [h|x] input
-            kzr = jnp.concatenate([kz, kr], axis=-1)
-            bzr = jnp.concatenate([bz, br])
-            if self.dtype is not None:
-                h, x, kzr, bzr, kq, bq = nn.dtypes.promote_dtype(
-                    h, x, kzr, bzr, kq, bq, dtype=self.dtype)
+            kzr = jnp.concatenate([kz, kr], axis=-1).astype(cdt)
+            bzr = jnp.concatenate([bz, br]).astype(cdt)
+            kq, bq = kq.astype(cdt), bq.astype(cdt)
             if use_pallas:
-                h = sep_conv_gru_pass(h, x, kzr, bzr, kq, bq, axis=axis)
+                h = sep_conv_gru_pass(h, xc, kzr, bzr, kq, bq, axis=axis)
                 continue
-            hx = jnp.concatenate([h, x], axis=-1)
+            hx = jnp.concatenate([h.astype(cdt), xc], axis=-1)
             zr = nn.sigmoid(_conv2d(hx, kzr, bzr, kh // 2, kw // 2))
             z, r = zr[..., :hd], zr[..., hd:]
-            q = nn.tanh(_conv2d(jnp.concatenate([r * h, x], axis=-1),
-                                kq, bq, kh // 2, kw // 2))
+            q = nn.tanh(_conv2d(
+                jnp.concatenate([(r * h).astype(cdt), xc], axis=-1),
+                kq, bq, kh // 2, kw // 2))
             h = (1 - z) * h + z * q
         return h
 

@@ -45,45 +45,52 @@ _TARGET_FLAT_ROWS = 2048
 
 
 def _gru_pass_kernel(h_ref, x_ref, kzr_ref, bzr_ref, kq_ref, bq_ref,
-                     o_ref, *, w: int, taps: int):
-    """One separable GRU pass on a [1, Ht, W, C] tile, conv along W."""
+                     o_ref, hxp_ref, *, w: int, taps: int):
+    """One separable GRU pass on a [1, Ht, W, C] tile, conv along W.
+
+    ``hxp_ref``: [Ht*W + taps-1, cin] VMEM scratch holding the flattened
+    [h|x] tile at row offset taps//2 — each tap is then a STATIC sublane
+    slice (``pltpu.roll`` can't rotate bf16 on this Mosaic).  The scratch
+    edge rows are never initialized: a tap only reads them where the
+    w-boundary mask discards the term (``jnp.where``, so even NaNs die)."""
     ht = h_ref.shape[1]
     hd = h_ref.shape[3]
     m = ht * w
     r_pad = taps // 2
 
-    cdt = h_ref.dtype
+    cdt = hxp_ref.dtype            # compute dtype (x/weights); h may be f32
     hflat = h_ref[0].reshape(m, hd)
     xflat = x_ref[0].reshape(m, x_ref.shape[3])
-    hx = jnp.concatenate([hflat, xflat], axis=-1)
 
     # w-index of every flattened row; tap validity masks kill the terms
     # whose shifted read crossed a row boundary (== conv zero padding)
     w_idx = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0) % w
 
-    def tap_matmul(src, k_ref, cout):
+    def tap_matmul(k_ref, cout):
         acc = jnp.zeros((m, cout), jnp.float32)
         for k in range(taps):
             d = k - r_pad
-            shifted = pltpu.roll(src, (-d) % m, axis=0) if d else src
             term = jax.lax.dot_general(
-                shifted, k_ref[k],
+                hxp_ref[pl.ds(r_pad + d, m), :], k_ref[k],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32)
             valid = ((w_idx + d >= 0) & (w_idx + d < w))
             acc = acc + jnp.where(valid, term, 0.0)
         return acc
 
-    zr = jax.nn.sigmoid(tap_matmul(hx, kzr_ref, 2 * hd)
+    hxp_ref[pl.ds(r_pad, m), :hd] = hflat.astype(cdt)
+    hxp_ref[pl.ds(r_pad, m), hd:] = xflat
+    zr = jax.nn.sigmoid(tap_matmul(kzr_ref, 2 * hd)
                         + bzr_ref[:].astype(jnp.float32))
     z, r = zr[:, :hd], zr[:, hd:]
 
     hf32 = hflat.astype(jnp.float32)
-    hx2 = jnp.concatenate([(r * hf32).astype(cdt), xflat], axis=-1)
-    q = jnp.tanh(tap_matmul(hx2, kq_ref, hd)
+    hxp_ref[pl.ds(r_pad, m), :hd] = (r * hf32).astype(cdt)
+    q = jnp.tanh(tap_matmul(kq_ref, hd)
                  + bq_ref[:].astype(jnp.float32))
 
-    o_ref[0] = ((1.0 - z) * hf32 + z * q).astype(cdt).reshape(ht, w, hd)
+    o_ref[0] = ((1.0 - z) * hf32 + z * q).astype(
+        o_ref.dtype).reshape(ht, w, hd)
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -95,8 +102,8 @@ def _gru_pass_pallas(h, x, kzr, bzr, kq, bq, interpret: bool = False):
     b, h_dim, w_dim, hd = h.shape
     taps = kzr.shape[0]
 
-    # sublane alignment of the flattened [Ht*W, cin] tiles
-    sub = 16 if h.dtype == jnp.bfloat16 else 8
+    # sublane alignment of the flattened [Ht*W, cin] tiles (scratch dtype)
+    sub = 16 if x.dtype == jnp.bfloat16 else 8
     w_pad = pl.cdiv(w_dim, sub) * sub
     ht = max(1, _TARGET_FLAT_ROWS // w_pad)
     h_pad = pl.cdiv(h_dim, ht) * ht
@@ -127,6 +134,8 @@ def _gru_pass_pallas(h, x, kzr, bzr, kq, bq, interpret: bool = False):
                                lambda bi, ti: (bi, ti, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h_pad, w_pad, hd), h.dtype),
+        scratch_shapes=[
+            pltpu.VMEM((ht * w_pad + taps - 1, hd + cx), x.dtype)],
         interpret=interpret,
     )(h, x, kzr, bzr.reshape(1, -1), kq, bq.reshape(1, -1))
     return out[:, :h_dim, :w_dim]

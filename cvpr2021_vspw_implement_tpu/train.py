@@ -90,13 +90,24 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
                                 lr_pow=cfg.TRAIN.lr_pow)
     state = TrainState.create(variables, tx)
     start_epoch = cfg.TRAIN.start_epoch
+    skip_batches = 0
     if getattr(args, "resume", False):
-        from .utils.checkpoint import latest_checkpoint, load_checkpoint
-        latest = latest_checkpoint(cfg.DIR)
+        from .utils.checkpoint import (latest_checkpoint, load_checkpoint,
+                                       newest_of)
+        latest = newest_of(latest_checkpoint(cfg.DIR),
+                           latest_checkpoint(cfg.DIR, prefix="preempt_"))
         if latest:
             state = load_checkpoint(latest, state)
-            start_epoch = int(latest.rsplit("_", 1)[1].split(".")[0])
-            logger.info(f"resumed from {latest} (epoch {start_epoch})")
+            # position in the run comes from the restored optimizer step —
+            # exact for BOTH epoch-boundary and mid-epoch (preemption)
+            # checkpoints.  The per-epoch shuffle is seeded by epoch
+            # (data/loader.py), so skipping the consumed batches replays
+            # the uninterrupted run's data order step for step.
+            total = int(state.step)
+            start_epoch = total // len(loader)
+            skip_batches = total % len(loader)
+            logger.info(f"resumed from {latest} (epoch {start_epoch}, "
+                        f"step {total}, skipping {skip_batches} batches)")
     n_params = sum(np.prod(p.shape) for p in
                    jax.tree_util.tree_leaves(variables["params"]))
     logger.info(f"model params: {n_params/1e6:.1f}M; "
@@ -136,7 +147,14 @@ def train(cfg, args, logger=None, max_steps: int | None = None):
         state = shard_tree(state, mesh)
         for epoch in range(start_epoch, args.totalepoch):
             tic = time.time()
+            # the loader's shuffle is keyed by ITS epoch counter; align it
+            # with the training epoch so a resumed run replays the same
+            # index order the uninterrupted run would have used
+            loader.epoch = epoch
             for i, batch in enumerate(device_prefetch(iter(loader), mesh)):
+                if epoch == start_epoch and i < skip_batches:
+                    tic = time.time()
+                    continue
                 data_time.update(time.time() - tic)
                 state, metrics = step_fn(state, batch, key)
                 if profile_dir and total_steps == 3:

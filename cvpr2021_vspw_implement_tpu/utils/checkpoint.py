@@ -75,6 +75,14 @@ class PreemptionCheckpointer:
         return path
 
 
+def newest_of(*paths: str | None) -> str | None:
+    """The most recently written of the given checkpoint paths (an
+    epoch-boundary save vs a mid-epoch preemption save — whichever
+    happened last is where the run actually stopped)."""
+    live = [p for p in paths if p]
+    return max(live, key=os.path.getmtime) if live else None
+
+
 def latest_checkpoint(ckpt_dir: str, prefix: str = "model_epoch_") -> str | None:
     if not os.path.isdir(ckpt_dir):
         return None

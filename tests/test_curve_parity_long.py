@@ -118,3 +118,100 @@ def test_frame_psp_curve_matches_reference_10_steps(no_dropout):
 
     np.testing.assert_allclose(our_losses, ref_losses, rtol=5e-3)
     assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
+
+
+def test_frame_psp_curve_matches_reference_50_steps(no_dropout):
+    """50-step horizon (VERDICT r2 item 5): momentum x weight-decay x
+    BN-running-stat interactions must not diverge over a longer
+    trajectory.  Same oracle construction as the 10-step test, smaller
+    crop to bound runtime on the 1-core host."""
+    mm = _ref_import("models.models")
+    torch.manual_seed(0)
+    enc = mm.ModelBuilder.build_encoder("resnet18dilated", weights="")
+    dec = mm.ModelBuilder.build_decoder("ppm_deepsup", fc_dim=512,
+                                        num_class=K, use_softmax=False)
+    seg = mm.SegmentationModule(enc, dec,
+                                torch.nn.NLLLoss(ignore_index=255),
+                                deep_sup_scale=0.4)
+    _randomize(seg, seed=91)
+    _zero_torch_dropout(seg)
+    seg.train()
+
+    steps, max_iters = 50, 60
+
+    def group_weight(module):
+        decay, no_decay = [], []
+        for m in module.modules():
+            if isinstance(m, (torch.nn.Linear,
+                              torch.nn.modules.conv._ConvNd)):
+                decay.append(m.weight)
+                if m.bias is not None:
+                    no_decay.append(m.bias)
+            elif isinstance(m, torch.nn.modules.batchnorm._BatchNorm):
+                if m.weight is not None:
+                    no_decay.append(m.weight)
+                if m.bias is not None:
+                    no_decay.append(m.bias)
+        return [dict(params=decay),
+                dict(params=no_decay, weight_decay=0.0)]
+
+    opt_e = torch.optim.SGD(group_weight(enc), lr=LR, momentum=MOM,
+                            weight_decay=WD)
+    opt_d = torch.optim.SGD(group_weight(dec), lr=LR, momentum=MOM,
+                            weight_decay=WD)
+
+    rng = np.random.default_rng(92)
+    batches = _frame_batches(rng, steps, 2, 32, 32)
+
+    sd_enc0 = copy.deepcopy(enc.state_dict())
+    sd_dec0 = copy.deepcopy(dec.state_dict())
+    ref_losses = []
+    for i, (img, lab) in enumerate(batches):
+        lr_i = LR * (1.0 - i / max_iters) ** 0.9
+        for opt in (opt_e, opt_d):
+            for g in opt.param_groups:
+                g["lr"] = lr_i
+        feed = {"img_data": torch.from_numpy(img.transpose(0, 3, 1, 2)),
+                "seg_label": torch.from_numpy(
+                    lab.astype(np.float32))[:, None]}
+        loss, _acc = seg(feed)
+        opt_e.zero_grad(), opt_d.zero_grad()
+        loss.backward()
+        opt_e.step(), opt_d.step()
+        ref_losses.append(float(loss))
+
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.import_torch import (
+        import_ppm_decoder_state_dict, import_resnet_state_dict)
+    from cvpr2021_vspw_implement_tpu.models.segmentation import (
+        SegmentationModule)
+    from cvpr2021_vspw_implement_tpu.parallel import (
+        TrainState, make_train_step)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import (
+        create_frame_optimizer)
+
+    enc_v = import_resnet_state_dict(sd_enc0)
+    dec_v = import_ppm_decoder_state_dict(sd_dec0, deepsup=True)
+    variables = {c: {"encoder": enc_v[c], "decoder": dec_v[c]}
+                 for c in ("params", "batch_stats")}
+    model = SegmentationModule(
+        ModelBuilder.build_encoder("resnet18dilated"),
+        ModelBuilder.build_decoder("ppm_deepsup", fc_dim=512, num_class=K))
+    tx = create_frame_optimizer(variables["params"], lr=LR,
+                                max_iters=max_iters, momentum=MOM,
+                                weight_decay=WD)
+    state = TrainState.create(variables, tx)
+    step_fn = make_train_step(model, tx, deep_sup_scale=0.4, donate=False)
+
+    key = jax.random.PRNGKey(0)
+    our_losses = []
+    for img, lab in batches:
+        state, metrics = step_fn(
+            state, {"img": jnp.asarray(img), "label": jnp.asarray(lab)}, key)
+        our_losses.append(float(metrics["loss"]))
+
+    np.testing.assert_allclose(our_losses, ref_losses, rtol=1e-2)
+    # the tail of the trajectory (where drift would compound) stays tight
+    np.testing.assert_allclose(our_losses[-10:], ref_losses[-10:],
+                               rtol=1e-2)
+    assert abs(ref_losses[0] - ref_losses[-1]) > 1e-4
