@@ -192,16 +192,21 @@ def clip_psp_loss(outs, batch, deep_sup_scale: float | None = 0.4):
     labels = batch["labels"]
     t1, b, h, w = labels.shape
     label = labels[-1]
-    # reference order: log_softmax at feature res, THEN bilinear upsample,
-    # then NLL (clip_psp.py:199-203, 211-215)
-    logp = resize_bilinear(
-        jax.nn.log_softmax(main.astype(jnp.float32), axis=-1), (h, w))
-    loss = nll_from_logprobs(logp, label)
+    # reference order (log_softmax at feature res → bilinear upsample →
+    # NLL, clip_psp.py:199-215) computed in the projected (transpose-
+    # trick) form: identical value/grads, but the [B, H, W, K] and
+    # [(T+1)B, H, W, K] full-res log-prob volumes are never materialized
+    # for the LOSS (segmentation.py).  The acc metric argmaxes upsampled
+    # raw logits under stop_gradient — argmax is invariant to the
+    # per-pixel log-softmax shift (resize(lse) is class-independent).
+    from .segmentation import upsampled_logprob_loss_projected
+    loss = upsampled_logprob_loss_projected(main, label)
     if deep_sup_scale is not None:
         all_label = labels.reshape(t1 * b, h, w)
-        dlogp = resize_bilinear(
-            jax.nn.log_softmax(deepsup.astype(jnp.float32), axis=-1), (h, w))
-        loss = loss + deep_sup_scale * nll_from_logprobs(dlogp, all_label)
+        loss = loss + deep_sup_scale * upsampled_logprob_loss_projected(
+            deepsup, all_label)
+    up = resize_bilinear(
+        jax.lax.stop_gradient(main).astype(jnp.float32), (h, w))
     acc_label = jnp.where(label == 255, -1, label)
-    acc = pixel_acc(logp, acc_label)
+    acc = pixel_acc(up, acc_label)
     return loss, acc

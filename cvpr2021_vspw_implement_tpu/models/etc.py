@@ -97,20 +97,22 @@ def etc_loss(outs, batch, deep_sup_scale: float | None = 0.4,
     b = label.shape[0]
 
     pred_t, pred_p = outs["pred_t"], outs["pred_p"]
-    logp = resize_bilinear(
-        jax.nn.log_softmax(pred_t.astype(jnp.float32), axis=-1), (h, w))
-    loss = nll_from_logprobs(logp, label)
+    # projected (transpose-trick) main NLL — equal to resize-then-pick
+    # without the full-res log-prob volume; the ST term below already
+    # materializes the upsampled raw logits, which also serve the acc
+    # argmax (invariant to the per-pixel log-softmax shift)
+    from .segmentation import upsampled_logprob_loss_projected
+    loss = upsampled_logprob_loss_projected(pred_t, label)
 
     if deep_sup_scale is not None:
-        dlogp = resize_bilinear(
-            jax.nn.log_softmax(outs["deepsup"].astype(jnp.float32), axis=-1),
-            (h, w))
         if ocr:
             # preds [target, prev] vs labels [prev, target] (reference quirk)
             all_label = jnp.concatenate([labels[0], labels[1]], axis=0)
-            loss = loss + deep_sup_scale * nll_from_logprobs(dlogp, all_label)
+            loss = loss + deep_sup_scale * upsampled_logprob_loss_projected(
+                outs["deepsup"], all_label)
         else:
-            loss = loss + deep_sup_scale * nll_from_logprobs(dlogp[:b], label)
+            loss = loss + deep_sup_scale * upsampled_logprob_loss_projected(
+                outs["deepsup"][:b], label)
 
     # temporal consistency (ETC.py:170-178)
     flow = resize_nearest(outs["flow"], (h, w)).astype(jnp.float32)
@@ -124,5 +126,5 @@ def etc_loss(outs, batch, deep_sup_scale: float | None = 0.4,
     loss = loss + st_weight * st
 
     acc_label = jnp.where(label == 255, -1, label)
-    acc = pixel_acc(logp, acc_label)
+    acc = pixel_acc(jax.lax.stop_gradient(pred_t_up), acc_label)
     return loss, acc

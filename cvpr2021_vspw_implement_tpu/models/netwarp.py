@@ -204,20 +204,24 @@ def netwarp_loss(outs, batch, deep_sup_scale: float | None = 0.4,
     labels = batch["labels"]
     label = labels[-1]
     h, w = label.shape[1:3]
+    # projected (transpose-trick) NLL — equal to resize-then-pick without
+    # the full-res log-prob volumes (segmentation.py); acc argmaxes
+    # upsampled raw logits (argmax-invariant to the log-softmax shift)
+    from .segmentation import upsampled_logprob_loss_projected
+    loss = upsampled_logprob_loss_projected(pred, label)
     logp = resize_bilinear(
-        jax.nn.log_softmax(pred.astype(jnp.float32), axis=-1), (h, w))
-    loss = nll_from_logprobs(logp, label)
+        jax.lax.stop_gradient(pred).astype(jnp.float32), (h, w))
     if deep_sup_scale is not None:
-        dlogp = resize_bilinear(
-            jax.nn.log_softmax(deepsup.astype(jnp.float32), axis=-1), (h, w))
         b = label.shape[0]
         if ocr:
             # quirk: dsn preds are [target, prev] but the reference's label
             # concat is [prev, target] (netwarp_ocr.py:287-295)
             all_label = jnp.concatenate([labels[0], labels[1]], axis=0)
-            loss = loss + deep_sup_scale * nll_from_logprobs(dlogp, all_label)
+            loss = loss + deep_sup_scale * upsampled_logprob_loss_projected(
+                deepsup, all_label)
         else:
-            loss = loss + deep_sup_scale * nll_from_logprobs(dlogp[:b], label)
+            loss = loss + deep_sup_scale * upsampled_logprob_loss_projected(
+                deepsup[:b], label)
     acc_label = jnp.where(label == 255, -1, label)
     acc = pixel_acc(logp, acc_label)
     return loss, acc

@@ -85,6 +85,35 @@ def upsampled_logprob_loss(logits: jnp.ndarray, label: jnp.ndarray) -> jnp.ndarr
     return nll_from_logprobs(logp, label)
 
 
+def upsampled_logprob_loss_projected(logits: jnp.ndarray,
+                                     label: jnp.ndarray) -> jnp.ndarray:
+    """``upsampled_logprob_loss`` computed by the transpose trick:
+
+        -<onehot_valid, Rh·logp·Rw>/N  ==  -<Rhᵀ·onehot_valid·Rwᵀ, logp>/N
+
+    (linearity of the separable resize).  Numerically equal within f32
+    reassociation, but the [N, H, W, K] full-resolution log-prob volume —
+    455 MB per 479² batch element at K=124, ~4x that for the deep-sup
+    branch — is NEVER materialized, and its backward collapses to the
+    projected-mask constant.  Measured on v5e this is pure HBM-traffic
+    savings; use wherever the upsampled log-probs are not ALSO needed for
+    the accuracy metric (deep-supervision branches)."""
+    b, fh, fw, k = logits.shape
+    h, w = label.shape[1:3]
+    logp = jax.nn.log_softmax(logits.astype(jnp.float32), axis=-1)
+    from ..ops.interpolate import _linear_weights
+    rh = jnp.asarray(_linear_weights(fh, h, False))      # [H, fh]
+    rw = jnp.asarray(_linear_weights(fw, w, False))      # [W, fw]
+    valid = label != 255
+    onehot = (jax.lax.broadcasted_iota(jnp.int32, (b, h, w, k), 3)
+              == jnp.where(valid, label, 0).astype(jnp.int32)[..., None])
+    ohf = jnp.where(onehot & valid[..., None], 1.0, 0.0)
+    m = jnp.einsum("hf,bhwk->bfwk", rh, ohf)
+    m = jnp.einsum("wg,bfwk->bfgk", rw, m)               # [b, fh, fw, k]
+    nvalid = jnp.maximum(jnp.sum(valid), 1)
+    return -jnp.sum(jax.lax.stop_gradient(m) * logp) / nvalid
+
+
 def segmentation_loss(outputs, label: jnp.ndarray,
                       deep_sup_scale: float | None = 0.4):
     """Training loss + pixel acc (reference: models/models.py:82-108).
@@ -95,13 +124,19 @@ def segmentation_loss(outputs, label: jnp.ndarray,
     label: [N, H, W] int32 with 255 = ignore.
     """
     h, w = label.shape[1:3]
-    logp = jax.nn.log_softmax(outputs[0].astype(jnp.float32), axis=-1)
-    logp = resize_bilinear(logp, (h, w))
-    loss = nll_from_logprobs(logp, label)
+    # projected (transpose-trick) NLL — equal to resize-then-pick without
+    # materializing the full-res log-prob volumes for the loss; acc
+    # argmaxes upsampled raw logits under stop_gradient (argmax is
+    # invariant to the per-pixel log-softmax shift, so it equals the
+    # reference's argmax of the resized log-probs)
+    loss = upsampled_logprob_loss_projected(outputs[0], label)
     if deep_sup_scale is not None and len(outputs) > 1:
-        loss = loss + deep_sup_scale * upsampled_logprob_loss(outputs[1], label)
+        loss = loss + deep_sup_scale * upsampled_logprob_loss_projected(
+            outputs[1], label)
+    up = resize_bilinear(
+        jax.lax.stop_gradient(outputs[0]).astype(jnp.float32), (h, w))
     acc_label = jnp.where(label == 255, -1, label)
-    acc = pixel_acc(logp, acc_label)  # reference argmaxes the resized log-probs
+    acc = pixel_acc(up, acc_label)
     return loss, acc
 
 

@@ -61,3 +61,30 @@ def test_order_matters():
     naive = float(nll_loss(resize_bilinear(jnp.asarray(logits), (16, 16)),
                            jnp.asarray(label)))
     assert ref_order != pytest.approx(naive, abs=1e-6)
+
+
+def test_projected_deepsup_loss_equals_resize_then_pick():
+    """upsampled_logprob_loss_projected == upsampled_logprob_loss exactly
+    (transpose trick over the separable resize), values AND gradients."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from cvpr2021_vspw_implement_tpu.models.segmentation import (
+        upsampled_logprob_loss, upsampled_logprob_loss_projected)
+
+    rng = np.random.default_rng(11)
+    logits = jnp.asarray(rng.standard_normal((3, 7, 9, 6)).astype(np.float32))
+    label = rng.integers(0, 6, (3, 52, 68)).astype(np.int32)
+    label[0, :5] = 255  # ignore region
+    label = jnp.asarray(label)
+
+    want = upsampled_logprob_loss(logits, label)
+    got = upsampled_logprob_loss_projected(logits, label)
+    np.testing.assert_allclose(float(got), float(want), rtol=1e-6)
+
+    g_want = jax.grad(lambda l: upsampled_logprob_loss(l, label))(logits)
+    g_got = jax.grad(
+        lambda l: upsampled_logprob_loss_projected(l, label))(logits)
+    np.testing.assert_allclose(np.asarray(g_got), np.asarray(g_want),
+                               atol=1e-6, rtol=1e-5)
