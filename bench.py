@@ -95,7 +95,11 @@ def main():
     variables = jax.device_put(variables, dev)
 
     # ---------------- 1. streaming inference, N DISTINCT frames ------------
-    N = 16
+    # N amortizes the measured ~30-40 ms host<->chip round-trip of each
+    # timed execution through the axon tunnel (a trivial jitted program
+    # costs that much wall time); the window baseline below scales M for
+    # the same reason, so the ratio stays apples-to-apples.
+    N = 64
     frames = jnp.asarray(
         rng.standard_normal((N, 1, h, w, 3)).astype(np.float32))
 
@@ -179,7 +183,7 @@ def main():
     # ------------- 2. reference window formulation, same chip --------------
     # test_clip2.py re-encodes clip_num+1 = 4 frames per eval frame; scan
     # over M distinct windows (each its own 4 frames) so nothing hoists.
-    M = 4
+    M = 16
     windows = jnp.asarray(
         rng.standard_normal((M, 4, 1, h, w, 3)).astype(np.float32))
 

@@ -157,6 +157,46 @@ class BasicUpdateBlock(nn.Module):
         return 0.25 * self.mask_2(nn.relu(self.mask_0(net)))
 
     def __call__(self, net, inp, corr, flow, with_mask: bool = True):
+        # the fused kernels hold the whole [H*W, C] tile in VMEM; beyond
+        # ~4k positions (e.g. the TC metric's 60x107 full-480p run) fall
+        # back to the unfused path, whose GRU kernel tiles rows
+        use_fused = (not self.is_initializing()
+                     and jax.default_backend() not in ("cpu",)
+                     and os.environ.get("VSPW_TPU_PALLAS", "1") == "1"
+                     and net.shape[1] * net.shape[2] <= 4096)
+        if use_fused:
+            # fused per-iteration kernels (ops/pallas/raft_update.py): the
+            # motion encoder and GRU+flow-head conv chains each cost
+            # ~1.6 ms/iter as separate XLA convs at 1/8-res shapes —
+            # latency-bound, ~30x above FLOP time; the kernels keep every
+            # activation VMEM-resident.  Params are read straight off the
+            # bound submodules, so checkpoints/importers are unaffected.
+            from ...ops.pallas.raft_update import (gru_flowhead_fused,
+                                                   motion_encoder_fused)
+            cdt = self.dtype or jnp.float32
+            pe = self.encoder.variables["params"]
+            mp = {k: {"kernel": pe[k]["conv"]["kernel"].astype(cdt),
+                      "bias": pe[k]["conv"]["bias"].astype(jnp.float32)}
+                  for k in ("convc1", "convc2", "convf1", "convf2", "conv")}
+            motion = motion_encoder_fused(corr, flow, mp)
+            gru_in = jnp.concatenate(
+                [inp.astype(jnp.float32), motion], axis=-1)
+            pg = self.gru.variables["params"]
+            pf = self.flow_head.variables["params"]
+            gp = {k: {"kernel": pg[k]["kernel"].astype(cdt),
+                      "bias": pg[k]["bias"].astype(jnp.float32)}
+                  for k in ("convz1", "convr1", "convq1",
+                            "convz2", "convr2", "convq2")}
+            gp["fh_conv1"] = {
+                "kernel": pf["conv1"]["conv"]["kernel"].astype(cdt),
+                "bias": pf["conv1"]["conv"]["bias"].astype(jnp.float32)}
+            gp["fh_conv2"] = {
+                "kernel": pf["conv2"]["conv"]["kernel"].astype(cdt),
+                "bias": pf["conv2"]["conv"]["bias"].astype(jnp.float32)}
+            net, delta_flow = gru_flowhead_fused(net, gru_in.astype(cdt),
+                                                 gp)
+            mask = self.mask(net) if with_mask else None
+            return net, mask, delta_flow
         motion = self.encoder(flow, corr)
         gru_in = jnp.concatenate([inp, motion], axis=-1)
         net = self.gru(net, gru_in)
