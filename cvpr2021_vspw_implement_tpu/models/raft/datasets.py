@@ -5,11 +5,26 @@ Directory-layout loaders for the standard flow benchmarks plus a generic
 (img1, img2, flow[, valid]) pair dataset.  The augmentors implement the
 FULL reference semantics — photometric ColorJitter (asymmetric with p=0.2),
 occlusion eraser, 2^U scale + per-axis stretch, h/v flips with flow sign
-fixes, and the sparse (KITTI) variant's splat-based flow-map resize —
-with two documented substitutions for libraries absent from this image:
-torchvision's ColorJitter is re-implemented in numpy (same blend formulas
-as torchvision.transforms.functional, np RNG instead of torch RNG) and
-cv2.resize(INTER_LINEAR) becomes PIL BILINEAR resize.
+fixes, and the sparse (KITTI) variant's splat-based flow-map resize.
+
+Two RNG modes:
+
+* default — self-contained ``np.random.default_rng(seed)`` stream with a
+  numpy ColorJitter (same blend formulas as torchvision's functional
+  backend); reproducible and thread-safe.
+* ``refrng=True`` — DRAW-FOR-DRAW reference parity: every random draw
+  comes from the same stream, in the same call order, as the reference
+  (global ``np.random`` legacy stream for the augmentor body; the torch
+  global stream — or python ``random`` for torchvision<=0.8 semantics —
+  inside ColorJitter), photometric ops use PIL ImageEnhance arithmetic
+  (torchvision's PIL backend) and resizes use cv2.resize(INTER_LINEAR),
+  so outputs are bit-identical to the reference pipeline under equal
+  seeds (proven in tests/test_flow_refrng.py by executing the actual
+  reference augmentor module).
+
+Resize uses cv2.resize(INTER_LINEAR) exactly as the reference when cv2 is
+importable, with a PIL BILINEAR fallback (sub-lsb interpolation-weight
+differences only).
 """
 
 from __future__ import annotations
@@ -18,7 +33,14 @@ import glob
 import os
 
 import numpy as np
-from PIL import Image
+from PIL import Image, ImageEnhance
+
+try:
+    import cv2
+    cv2.setNumThreads(0)
+    _HAVE_CV2 = True
+except Exception:  # pragma: no cover - cv2 is present in this image
+    _HAVE_CV2 = False
 
 from .frame_utils import read_flo, read_kitti_png
 
@@ -98,9 +120,12 @@ class ColorJitterNP:
 
 
 def _resize_img(img, scale_x, scale_y):
-    """cv2.resize(None, fx, fy, INTER_LINEAR) equivalent via PIL BILINEAR
-    (cv2 is not in this image; interpolation weights differ at sub-lsb
-    level only)."""
+    """cv2.resize(None, fx=, fy=, INTER_LINEAR) — the reference's resize
+    (augmentor.py:85-88) — with a PIL BILINEAR fallback if cv2 is absent
+    (interpolation weights then differ at sub-lsb level only)."""
+    if _HAVE_CV2:
+        return cv2.resize(img, None, fx=scale_x, fy=scale_y,
+                          interpolation=cv2.INTER_LINEAR)
     h, w = img.shape[:2]
     nh, nw = int(round(h * scale_y)), int(round(w * scale_x))
     if img.ndim == 3 and img.shape[2] == 2:  # flow: resize channels apart
@@ -111,12 +136,107 @@ def _resize_img(img, scale_x, scale_y):
         (nw, nh), Image.BILINEAR))
 
 
+class _LegacyNPRandom:
+    """Adapter giving the reference's GLOBAL legacy ``np.random`` stream the
+    ``Generator`` method names the augmentors call — each method is the
+    exact legacy function the reference calls at the same point
+    (augmentor.py: np.random.rand/uniform/randint), so draws match the
+    reference draw for draw."""
+
+    @staticmethod
+    def random():
+        return np.random.rand()
+
+    @staticmethod
+    def uniform(low, high):
+        return np.random.uniform(low, high)
+
+    @staticmethod
+    def integers(low, high):
+        return np.random.randint(low, high)
+
+
+def _pil_adjust_hue(img, hue_factor):
+    """torchvision functional_pil.adjust_hue: uint8 hue-channel rotation in
+    PIL's HSV space (wrap-around uint8 add of hue_factor*255)."""
+    h, s, v = img.convert("HSV").split()
+    np_h = np.array(h, dtype=np.uint8)
+    # torchvision writes ``np_h += np.uint8(hue_factor * 255)``; under the
+    # reference-era numpy 1.x a negative float wraps modulo 256 (truncate
+    # toward zero, then wrap) — numpy 2.x raises instead, so emulate
+    shift = np.uint8(int(hue_factor * 255) % 256)
+    with np.errstate(over="ignore"):
+        np_h += shift
+    h = Image.fromarray(np_h, "L")
+    return Image.merge("HSV", (h, s, v)).convert("RGB")
+
+
+class RefColorJitter:
+    """Draw-for-draw torchvision.transforms.ColorJitter (PIL backend).
+
+    Matches torchvision's RNG stream and uint8 arithmetic exactly:
+
+    * ``impl='torch'`` (torchvision >= 0.9, the torch-1.8/CVPR2021 era):
+      ``torch.randperm(4)`` then one ``torch.empty(1).uniform_`` per
+      enabled op drawn lazily in permutation order, all against the torch
+      GLOBAL generator.
+    * ``impl='py'`` (torchvision <= 0.8 / RAFT's published torch-1.6
+      pin): one ``random.uniform`` per enabled op in fixed
+      brightness/contrast/saturation/hue order, then ``random.shuffle``
+      of the op list — all against python's global ``random`` stream.
+
+    Applications go through PIL ImageEnhance / HSV exactly as
+    torchvision's PIL backend, so outputs are bit-identical uint8.
+    Accepts and returns numpy uint8 HWC (the reference wraps with
+    ``Image.fromarray`` / ``np.array`` — augmentor.py:42-49).
+    """
+
+    def __init__(self, brightness, contrast, saturation, hue,
+                 impl: str = "torch"):
+        self.brightness = (max(0.0, 1 - brightness), 1 + brightness)
+        self.contrast = (max(0.0, 1 - contrast), 1 + contrast)
+        self.saturation = (max(0.0, 1 - saturation), 1 + saturation)
+        self.hue = (-hue, hue)
+        self.impl = impl
+
+    def _apply(self, img, fn_id, factor):
+        if fn_id == 0:
+            return ImageEnhance.Brightness(img).enhance(factor)
+        if fn_id == 1:
+            return ImageEnhance.Contrast(img).enhance(factor)
+        if fn_id == 2:
+            return ImageEnhance.Color(img).enhance(factor)
+        return _pil_adjust_hue(img, factor)
+
+    def __call__(self, img_u8):
+        img = Image.fromarray(np.ascontiguousarray(img_u8))
+        if self.impl == "torch":
+            import torch
+            for fn_id in torch.randperm(4).tolist():
+                rng_range = (self.brightness, self.contrast,
+                             self.saturation, self.hue)[fn_id]
+                factor = float(torch.empty(1).uniform_(*rng_range))
+                img = self._apply(img, fn_id, factor)
+        else:
+            import random as _pyrandom
+            ops = []
+            for fn_id, rng_range in enumerate(
+                    (self.brightness, self.contrast, self.saturation,
+                     self.hue)):
+                ops.append((fn_id, _pyrandom.uniform(*rng_range)))
+            _pyrandom.shuffle(ops)
+            for fn_id, factor in ops:
+                img = self._apply(img, fn_id, factor)
+        return np.array(img, dtype=np.uint8)
+
+
 class FlowAugmentor:
     """Dense-flow augmentation, full reference semantics
     (reference: RAFT_core/utils/augmentor.py:15-118)."""
 
     def __init__(self, crop_size, min_scale=-0.2, max_scale=0.5,
-                 do_flip: bool = True, seed: int | None = None):
+                 do_flip: bool = True, seed: int | None = None,
+                 refrng: bool = False, jitter_impl: str = "torch"):
         self.crop_size = crop_size
         self.min_scale = min_scale
         self.max_scale = max_scale
@@ -126,8 +246,15 @@ class FlowAugmentor:
         self.do_flip = do_flip
         self.h_flip_prob = 0.5
         self.v_flip_prob = 0.1
-        self.rng = np.random.default_rng(seed)
-        self.photo_aug = ColorJitterNP(0.4, 0.4, 0.4, 0.5 / 3.14, self.rng)
+        if refrng:
+            # draw-for-draw reference RNG parity (see module docstring)
+            self.rng = _LegacyNPRandom()
+            self.photo_aug = RefColorJitter(0.4, 0.4, 0.4, 0.5 / 3.14,
+                                            impl=jitter_impl)
+        else:
+            self.rng = np.random.default_rng(seed)
+            self.photo_aug = ColorJitterNP(0.4, 0.4, 0.4, 0.5 / 3.14,
+                                           self.rng)
         self.asymmetric_color_aug_prob = 0.2
         self.eraser_aug_prob = 0.5
 
@@ -170,17 +297,20 @@ class FlowAugmentor:
             img1 = _resize_img(img1, scale_x, scale_y)
             img2 = _resize_img(img2, scale_x, scale_y)
             flow = _resize_img(flow.astype(np.float32), scale_x, scale_y)
-            flow = flow * np.array([scale_x, scale_y], np.float32)
+            # list (not f32 array) multiply: promote to f64 exactly like
+            # the reference (augmentor.py:89) so f32 rounding happens ONCE
+            # at return — keeps refrng mode bit-identical
+            flow = flow * [scale_x, scale_y]
 
         if self.do_flip:
             if self.rng.random() < self.h_flip_prob:
                 img1 = img1[:, ::-1]
                 img2 = img2[:, ::-1]
-                flow = flow[:, ::-1] * np.array([-1.0, 1.0], np.float32)
+                flow = flow[:, ::-1] * [-1.0, 1.0]
             if self.rng.random() < self.v_flip_prob:
                 img1 = img1[::-1]
                 img2 = img2[::-1]
-                flow = flow[::-1] * np.array([1.0, -1.0], np.float32)
+                flow = flow[::-1] * [1.0, -1.0]
 
         y0 = int(self.rng.integers(0, img1.shape[0] - self.crop_size[0]))
         x0 = int(self.rng.integers(0, img1.shape[1] - self.crop_size[1]))
@@ -205,14 +335,21 @@ class SparseFlowAugmentor:
     (reference: RAFT_core/utils/augmentor.py:122-246)."""
 
     def __init__(self, crop_size, min_scale=-0.2, max_scale=0.5,
-                 do_flip: bool = False, seed: int | None = None):
+                 do_flip: bool = False, seed: int | None = None,
+                 refrng: bool = False, jitter_impl: str = "torch"):
         self.crop_size = crop_size
         self.min_scale = min_scale
         self.max_scale = max_scale
         self.spatial_aug_prob = 0.8
         self.do_flip = do_flip
-        self.rng = np.random.default_rng(seed)
-        self.photo_aug = ColorJitterNP(0.3, 0.3, 0.3, 0.3 / 3.14, self.rng)
+        if refrng:
+            self.rng = _LegacyNPRandom()
+            self.photo_aug = RefColorJitter(0.3, 0.3, 0.3, 0.3 / 3.14,
+                                            impl=jitter_impl)
+        else:
+            self.rng = np.random.default_rng(seed)
+            self.photo_aug = ColorJitterNP(0.3, 0.3, 0.3, 0.3 / 3.14,
+                                           self.rng)
         self.eraser_aug_prob = 0.5
 
     def color_transform(self, img1, img2):
