@@ -134,6 +134,75 @@ class _ConvParams(nn.Module):
         return kernel, bias
 
 
+from functools import partial as _partial
+
+
+@_partial(jax.custom_vjp, nondiff_argnums=(2, 3, 4))
+def _tap_conv_s1(xf, kf, kh, kw, d):
+    """Stride-1 tap convolution on a PRE-PADDED input: y = sum over taps of
+    slice(xf, tap) @ kf[tap].  Custom VJP because XLA's autodiff of the
+    slice/accumulate chain lowers pathologically on TPU (measured ~100 ms
+    of backward for an 11-block chain whose forward is sub-ms —
+    tools/tapconv_micro.py); the hand-written backward is the standard
+    conv-gradient-as-conv: dK per tap is an [NHW,Cin]x[NHW,Cout]
+    contraction, dX is the TRANSPOSED tap conv of dy (flipped tap offsets,
+    kernel transposed) — all plain MXU matmuls, bit-for-bit the same math
+    re-associated."""
+    H = xf.shape[1] - d * (kh - 1)
+    W = xf.shape[2] - d * (kw - 1)
+    out = None
+    for ky in range(kh):
+        for kx in range(kw):
+            xs = jax.lax.slice(
+                xf, (0, ky * d, kx * d, 0),
+                (xf.shape[0], ky * d + H, kx * d + W, xf.shape[3]))
+            t = jnp.einsum("nhwi,io->nhwo", xs, kf[ky, kx],
+                           preferred_element_type=jnp.float32)
+            out = t if out is None else out + t
+    return out
+
+
+def _tap_conv_s1_fwd(xf, kf, kh, kw, d):
+    return _tap_conv_s1(xf, kf, kh, kw, d), (xf, kf)
+
+
+def _tap_conv_s1_bwd(kh, kw, d, res, dy):
+    xf, kf = res
+    H = xf.shape[1] - d * (kh - 1)
+    W = xf.shape[2] - d * (kw - 1)
+    dyc = dy.astype(xf.dtype)
+    # dK[t] = x_tap[t]^T dy
+    dks = []
+    for ky in range(kh):
+        row = []
+        for kx in range(kw):
+            xs = jax.lax.slice(
+                xf, (0, ky * d, kx * d, 0),
+                (xf.shape[0], ky * d + H, kx * d + W, xf.shape[3]))
+            row.append(jnp.einsum("nhwi,nhwo->io", xs, dyc,
+                                  preferred_element_type=jnp.float32))
+        dks.append(jnp.stack(row))
+    dkf = jnp.stack(dks).astype(kf.dtype)
+    # dX = transposed tap conv: pad dy by d*(k-1), slice with flipped
+    # offsets, contract against kf[t]^T
+    ph, pw = d * (kh - 1), d * (kw - 1)
+    dyp = jnp.pad(dyc, ((0, 0), (ph, ph), (pw, pw), (0, 0)))
+    dxf = None
+    for ky in range(kh):
+        for kx in range(kw):
+            ds_ = jax.lax.slice(
+                dyp, (0, (kh - 1 - ky) * d, (kw - 1 - kx) * d, 0),
+                (dyp.shape[0], (kh - 1 - ky) * d + xf.shape[1],
+                 (kw - 1 - kx) * d + xf.shape[2], dyp.shape[3]))
+            t = jnp.einsum("nhwo,io->nhwi", ds_, kf[ky, kx],
+                           preferred_element_type=jnp.float32)
+            dxf = t if dxf is None else dxf + t
+    return dxf.astype(xf.dtype), dkf
+
+
+_tap_conv_s1.defvjp(_tap_conv_s1_fwd, _tap_conv_s1_bwd)
+
+
 class TapConv(nn.Module):
     """Drop-in replacement for ``Conv`` (identical params: <name>/conv/kernel)
     that computes the convolution as a sum of per-tap ``einsum`` contractions
@@ -148,6 +217,10 @@ class TapConv(nn.Module):
         correctly;
       * per-tap contractions are plain [N*H*W, Cin] x [Cin, Cout] matmuls —
         the exact MXU shape — with the same total FLOPs as the conv.
+
+    The common stride-1/groups-1 case routes through :func:`_tap_conv_s1`,
+    whose custom VJP keeps the BACKWARD on the same per-tap-matmul form
+    (XLA's autodiff of the slice chain is ~100x slower on TPU).
 
     Same accumulation count as the conv (taps summed in f32), so numerics
     match Conv to float tolerance.
@@ -179,6 +252,11 @@ class TapConv(nn.Module):
             xf = jnp.pad(xf, ((0, 0), (p, p), (p, p), (0, 0)))
         H = (x.shape[1] + 2 * p - d * (kh - 1) - 1) // s + 1
         W = (x.shape[2] + 2 * p - d * (kw - 1) - 1) // s + 1
+        if s == 1 and self.groups == 1:
+            out = _tap_conv_s1(xf, kf, kh, kw, d)
+            if bias is not None:
+                out = out + bias
+            return out.astype(dt)
         out = None
         for ky in range(kh):
             for kx in range(kw):
