@@ -21,7 +21,12 @@ own frame from a stacked [N,...] buffer):
 3. ``train_step_ms`` — full jitted training step (fwd+bwd+SGD+BN stats) at
    the reference temporal recipe's per-GPU shape (scripts/run_temporal_psp.sh:
    batch 8 over 4 GPUs -> 2/chip, dilation2 "3,6,9" -> 3 context + 1 target
-   frames, crop 479).
+   frames, crop 479).  Measured as K back-to-back DONATED steps with ONE
+   scalar readback at the end — the production dispatch pattern (training
+   loops read metrics asynchronously); a single step timed with an inline
+   readback folds the axon tunnel's ~18 ms host round trip into every
+   sample and is reported separately as ``train_step_single_readback_ms``
+   (tools/train_ablate.py has the full ablation matrix).
 
 MFU fields use XLA's own compiled-HLO flop count divided by wall time and
 the chip's bf16 peak; ``value`` is sanity-bounded by construction (mfu<=1).
@@ -55,6 +60,9 @@ def _flops_of(compiled) -> float | None:
         return float(ca["flops"])
     except Exception:
         return None
+
+
+ERRORS = {}
 
 
 def main():
@@ -213,6 +221,15 @@ def main():
             base_fps, base_dt = M / dt, dt
     base_mfu = (window_flops / base_dt / peak if window_flops else None)
 
+    # the streaming sections' buffers are dead from here on; free them so
+    # the training/netwarp compiles don't OOM against 64-frame f32 stacks
+    # (frames4 alone is ~1.3 GB) still resident in HBM
+    del frames, windows, window_c, stream_c
+    try:
+        del frames4, b04
+    except NameError:
+        pass
+
     # ---------------- 3. training step, reference per-chip shape -----------
     tb, bb, crop = 4, 2, 479
     imgs = jnp.asarray(
@@ -233,20 +250,43 @@ def main():
     key = jax.random.PRNGKey(0)
     new_state, metrics = step_fn(state, batch, key)
     float(metrics["loss"])  # compile + first execution
-    train_dt = float("inf")
+    train_single_dt = float("inf")
     for _trial in range(3):
         start = time.perf_counter()
         new_state, metrics = step_fn(state, batch, key)
         float(metrics["loss"])
-        train_dt = min(train_dt, time.perf_counter() - start)
+        train_single_dt = min(train_single_dt, time.perf_counter() - start)
     # flop count for the jitted step via a fresh lowering (cached)
     train_flops = None
     try:
         lowered = jax.jit(
             lambda s, b, k: step_fn(s, b, k)).lower(state, batch, key)
         train_flops = _flops_of(lowered.compile())
-    except Exception:
-        pass
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["train_flops"] = repr(e)[:160]
+
+    def chained_ms(sfn, st, bt, k=8, trials=3):
+        """K donated back-to-back steps, one readback (production dispatch);
+        returns best ms/step.  State rebinds each step; the losses are
+        summed on-device so only ONE scalar crosses the tunnel."""
+        st, m = sfn(st, bt, key)
+        float(m["loss"])
+        best = float("inf")
+        for _trial in range(trials):
+            t0 = time.perf_counter()
+            losses = []
+            for _i in range(k):
+                st, m = sfn(st, bt, key)
+                losses.append(m["loss"])
+            float(jnp.sum(jnp.stack(losses)))
+            best = min(best, (time.perf_counter() - t0) / k)
+        return best * 1e3
+
+    step_don = make_train_step(model, tx, loss_fn=clip_psp_loss, donate=True)
+    # donate a deep COPY so `state` stays alive for the b=4 row below
+    state_c = jax.tree_util.tree_map(lambda x: x.copy(), state)
+    train_dt = chained_ms(step_don, state_c, batch) / 1e3
+    del state_c
     train_mfu = (train_flops / train_dt / peak if train_flops else None)
 
     # -------- 3b. throughput-optimal per-chip batch (b=4, no remat) --------
@@ -257,17 +297,15 @@ def main():
         imgs4 = jnp.concatenate([imgs] * 2, 1)
         labels4 = jnp.concatenate([labels] * 2, 1)
         batch4 = {"img": imgs4, "labels": labels4}
-        _, m4 = step_fn(state, batch4, key)
-        float(m4["loss"])
-        b4 = float("inf")
-        for _trial in range(3):
-            start = time.perf_counter()
-            _, m4 = step_fn(state, batch4, key)
-            float(m4["loss"])
-            b4 = min(b4, time.perf_counter() - start)
-        train_b4_ms_per2 = round(b4 * 1e3 / 2, 2)
-    except Exception:
-        pass
+        state_c = jax.tree_util.tree_map(lambda x: x.copy(), state)
+        train_b4_ms_per2 = round(
+            chained_ms(step_don, state_c, batch4) / 2, 2)
+        del state_c
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["train_b4"] = repr(e)[:160]
+
+    # flagship train buffers are dead past here
+    del new_state, metrics, batch, imgs, labels, state, tvars
 
     # ---------------- 4. NetWarp training step (flow-coupled method) -------
     # frozen 20-iter RAFT + R101 + warps at the reference per-chip shape;
@@ -296,18 +334,23 @@ def main():
         ntx = create_clip_optimizer(nvars["params"], lr=0.002, max_iters=100)
         nstate = TrainState.create(nvars, ntx)
         nstep = make_train_step(nmodel, ntx, loss_fn=netwarp_loss,
-                                donate=False)
-        _, nm = nstep(nstate, nbatch, key)
-        float(nm["loss"])
-        netwarp_ms = float("inf")
-        for _trial in range(3):
-            start = time.perf_counter()
-            _, nm = nstep(nstate, nbatch, key)
-            float(nm["loss"])
-            netwarp_ms = min(netwarp_ms, time.perf_counter() - start)
-        netwarp_ms = round(netwarp_ms * 1e3, 1)
-    except Exception:
+                                donate=True)
+        netwarp_ms = round(chained_ms(nstep, nstate, nbatch, k=4), 1)
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["netwarp"] = repr(e)[:160]
+
+    # training states are dead; re-create the frame stacks the per-method
+    # serving sections scan over (freed above to keep the train sections
+    # inside HBM)
+    try:
+        del nvars, nstate, nbatch, nimgs, nlabels
+    except NameError:
         pass
+    B4 = 4
+    frames = jnp.asarray(
+        rng.standard_normal((N, 1, h, w, 3)).astype(np.float32))
+    frames4 = jnp.asarray(
+        rng.standard_normal((N, B4, h, w, 3)).astype(np.float32))
 
     def timed_stream(step, carry0, frames, n_frames):
         """Best-of-3 wall time of a jitted scan over distinct frames →
@@ -357,8 +400,8 @@ def main():
         clipocr_mfu = fl * N / dt / peak if fl else None
         ctx04 = jnp.zeros((B4, 124, 512), jnp.bfloat16)
         clipocr4_fps, _ = timed_stream(ocr_step, ctx04, frames4, N * B4)
-    except Exception:
-        pass
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["clipocr"] = repr(e)[:160]
 
     # ------- 6. TDNet streaming (K/V/Q carry, rotating paths) --------------
     tdnet_fps = tdnet_mfu = tdnet4_fps = None
@@ -414,8 +457,8 @@ def main():
             run_td(frames4, st04)
             best4 = min(best4, time.perf_counter() - start)
         tdnet4_fps = N * B4 / best4
-    except Exception:
-        pass
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["tdnet"] = repr(e)[:160]
 
     # ------- 7. ETC window inference (eval = per-window forward) -----------
     etc_fps = etc_mfu = None
@@ -444,8 +487,8 @@ def main():
         etc_fps, dt = timed_stream(etc_step, 0, wins, M)
         fl = _flops_of(jax.jit(etc_step).lower(0, wins[0]).compile())
         etc_mfu = fl * M / dt / peak if fl else None
-    except Exception:
-        pass
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["etc"] = repr(e)[:160]
 
     # ------- 8. OCR-head microbench (reference's own harness shape:
     # models/ocr_modules/spatial_ocr_block.py:470-517 — conv3x3 2048→512 +
@@ -484,8 +527,8 @@ def main():
             float(ocr_micro(feats, probs))
             best = min(best, time.perf_counter() - start)
         ocr_head_ms = round(best * 1e3, 3)
-    except Exception:
-        pass
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["ocr_head"] = repr(e)[:160]
 
     rnd = lambda x, n=4: (round(x, n) if isinstance(x, float) else x)
     print(json.dumps({
@@ -503,7 +546,9 @@ def main():
                         " same model/chip/dtype, measured",
         "train_step_ms": round(train_dt * 1e3, 2),
         "train_mfu": rnd(train_mfu),
-        "train_shape": "T+1=4 x B=2 x 479x479 (run_temporal_psp.sh/chip)",
+        "train_step_single_readback_ms": round(train_single_dt * 1e3, 2),
+        "train_shape": "T+1=4 x B=2 x 479x479 (run_temporal_psp.sh/chip), "
+                       "8 donated back-to-back steps / 1 readback",
         "train_b4_ms_per_2_samples": train_b4_ms_per2,
         "netwarp_train_step_ms": netwarp_ms,
         # per-method serving matrix (all on the same chip, bf16, 480x853)
@@ -516,6 +561,7 @@ def main():
         "etc_windows_per_sec": rnd(etc_fps, 3),
         "etc_mfu": rnd(etc_mfu),
         "ocr_head_ms": ocr_head_ms,
+        "errors": ERRORS or None,
         "device": getattr(dev, "device_kind", str(dev)),
         "peak_tflops_bf16": peak / 1e12,
     }))

@@ -21,25 +21,42 @@ import jax.numpy as jnp
 
 
 def all_pairs_correlation(fmap1: jnp.ndarray, fmap2: jnp.ndarray) -> jnp.ndarray:
-    """fmap1/fmap2: [B, H, W, C] → corr [B, H1*W1, H2, W2] (f32)."""
+    """fmap1/fmap2: [B, H, W, C] → corr [B, H1*W1, H2, W2] (f32).
+
+    The contraction runs in the fmaps' own dtype with f32 accumulation —
+    bf16 inputs use the MXU's native bf16 path (like the reference's
+    autocast matmul, RAFT_core/corr.py:54-58 under torch.cuda.amp)."""
     b, h, w, c = fmap1.shape
-    f1 = fmap1.reshape(b, h * w, c).astype(jnp.float32)
-    f2 = fmap2.reshape(b, h * w, c).astype(jnp.float32)
-    corr = jnp.einsum("bpc,bqc->bpq", f1, f2) / jnp.sqrt(jnp.float32(c))
+    f1 = fmap1.reshape(b, h * w, c)
+    f2 = fmap2.reshape(b, h * w, c)
+    corr = jnp.einsum("bpc,bqc->bpq", f1, f2,
+                      preferred_element_type=jnp.float32)
+    corr = corr / jnp.sqrt(jnp.float32(c))
     return corr.reshape(b, h * w, h, w)
 
 
 def build_corr_pyramid(fmap1: jnp.ndarray, fmap2: jnp.ndarray,
-                       num_levels: int = 4) -> list[jnp.ndarray]:
+                       num_levels: int = 4,
+                       store_dtype=None) -> list[jnp.ndarray]:
+    """4-level pyramid; levels are STORED in ``store_dtype`` (default f32).
+
+    The level-0 plane is the dominant HBM stream of the refinement loop —
+    every lookup iteration re-reads P x Hl x Wl per level (~165 MB at
+    RAFT-480p in f32) — so bf16 storage halves the loop's memory traffic.
+    Pooling always accumulates from the f32 master; the lookup paths
+    upcast to f32 before the bilinear weighting, so only the one storage
+    rounding is introduced (mirrors the reference's half-precision corr
+    under torch.cuda.amp)."""
     corr = all_pairs_correlation(fmap1, fmap2)
-    pyramid = [corr]
+    sd = store_dtype or jnp.float32
+    pyramid = [corr.astype(sd)]
     for _ in range(num_levels - 1):
         b, p, h, w = corr.shape
         # 2x2 average pool over the last two dims (floor semantics)
         h2, w2 = h // 2, w // 2
         corr = corr[:, :, :h2 * 2, :w2 * 2].reshape(b, p, h2, 2, w2, 2)
         corr = corr.mean(axis=(3, 5))
-        pyramid.append(corr)
+        pyramid.append(corr.astype(sd))
     return pyramid
 
 

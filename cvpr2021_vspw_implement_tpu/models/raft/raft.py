@@ -78,9 +78,14 @@ class RAFT(nn.Module):
         fnet = BasicEncoder(256, "instance", dtype=self.dtype, name="fnet")
         # shared weights over both frames, exactly like fnet([im1, im2])
         pair = jnp.concatenate([image1, image2], axis=0)
-        fmaps = fnet(pair, train).astype(jnp.float32)
+        # keep the encoder's compute dtype into the all-pairs matmul (bf16
+        # MXU contraction with f32 accumulation) and store the pyramid in
+        # the same dtype — the level-0 plane re-read by all `iters` lookups
+        # is the refinement loop's dominant HBM stream (see corr.py)
+        fmaps = fnet(pair, train)
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
-        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels)
+        pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
+                                     store_dtype=self.dtype)
 
         cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch",
                             dtype=self.dtype, name="cnet")(image1, train)

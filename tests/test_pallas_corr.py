@@ -61,3 +61,24 @@ def test_fused_lookup_gradients_match_xla():
                     jax.tree_util.tree_leaves(gx)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-5)
+
+
+def test_bf16_pyramid_storage():
+    """store_dtype=bf16 halves the lookup loop's HBM stream (corr.py):
+    levels are stored bf16, both lookup paths upcast and return f32, and
+    the result stays within bf16 storage-rounding of the f32 pyramid."""
+    rng = np.random.default_rng(7)
+    f1 = jnp.asarray(rng.standard_normal((1, 6, 9, 16)).astype(np.float32))
+    f2 = jnp.asarray(rng.standard_normal((1, 6, 9, 16)).astype(np.float32))
+    pyr32 = build_corr_pyramid(f1, f2, num_levels=3)
+    pyr16 = build_corr_pyramid(f1, f2, num_levels=3,
+                               store_dtype=jnp.bfloat16)
+    assert all(p.dtype == jnp.bfloat16 for p in pyr16)
+
+    _, coords = _setup(b=1, seed=7)
+    ref = lookup_corr_pyramid(pyr32, coords, radius=2)
+    for got in (lookup_corr_pyramid(pyr16, coords, radius=2),
+                lookup_corr_pyramid_fused(pyr16, coords, 2, True)):
+        assert got.dtype == jnp.float32
+        np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                                   rtol=2e-2, atol=2e-2)

@@ -1,87 +1,125 @@
-"""Measure bf16-vs-f32 per-step loss drift of the jitted flagship train
-step over N synthetic steps on the TPU (VERDICT r2 item 5).
+"""Measure bf16-vs-f32 per-step loss drift of the jitted train step.
 
-The production recipe runs bf16 on TPU while the curve-parity oracle runs
-f32 on CPU; this script closes the chain by bounding the bf16 deviation
-of the SAME jitted step (identical weights, batches, RNG) over a long
-horizon.  Records: per-step relative loss drift (mean/max), final-step
-drift.  Result is written to stdout as one JSON line and appended to
-PARITY.md by hand.
+The production recipe runs the flagship (TCB-PSP / clip_psp) training step
+in bfloat16 compute (params stay f32); the parity evidence
+(tests/test_curve_parity*.py) runs f32.  This tool closes the gap: it runs
+the SAME seeded synthetic training trajectory twice — once with
+``dtype=bfloat16`` models and once with ``dtype=f32`` — from identical f32
+parameter initialisation, and reports the per-step loss drift over N steps.
+The measured bound is recorded in PARITY.md (reference trajectory
+semantics: /root/reference/train_clip2.py:26-126).
 
-Usage: python tools/bf16_drift.py [steps] [crop]
+Usage:  python tools/bf16_drift.py [--steps 100] [--crop 241] [--batch 2]
 """
 
+from __future__ import annotations
+
+import argparse
 import json
 import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import numpy as np
 
 
-def main(steps: int = 100, crop: int = 128):
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--steps", type=int, default=100)
+    ap.add_argument("--crop", type=int, default=241)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--clip_num", type=int, default=4,
+                    help="context frames + 1 target (flagship recipe: 4)")
+    ap.add_argument("--num_class", type=int, default=124)
+    args = ap.parse_args()
+
     import jax
     import jax.numpy as jnp
-
-    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
-    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
     from cvpr2021_vspw_implement_tpu.models.clip_psp import (ClipPSP,
                                                              clip_psp_loss)
-    from cvpr2021_vspw_implement_tpu.parallel import (TrainState,
-                                                      make_train_step)
-    from cvpr2021_vspw_implement_tpu.parallel.optim import (
-        create_clip_optimizer)
+    from cvpr2021_vspw_implement_tpu.parallel.optim import \
+        create_clip_optimizer
+    from cvpr2021_vspw_implement_tpu.parallel.train_state import (
+        TrainState, make_train_step)
 
     dev = jax.devices()[0]
-    rng = np.random.default_rng(0)
-    tb, bb = 4, 2
-    batches = [
-        {"img": rng.standard_normal((tb, bb, crop, crop, 3))
-         .astype(np.float32),
-         "labels": rng.integers(0, 124, (tb, bb, crop, crop))
-         .astype(np.int32)}
-        for _ in range(8)]  # cycled — drift is about arithmetic, not data
+    print(f"device: {dev.device_kind}", file=sys.stderr)
 
-    losses = {}
-    for name, dtype in [("f32", None), ("bf16", jnp.bfloat16)]:
-        enc = ModelBuilder.build_encoder("resnet18dilated", fc_dim=512,
+    def build(dtype):
+        enc = ModelBuilder.build_encoder("resnet101dilated", fc_dim=2048,
                                          dtype=dtype)
-        model = ClipPSP(encoder=enc, num_class=124, fc_dim=512, dtype=dtype)
-        with jax.default_device(jax.devices("cpu")[0]):
-            variables = model.init(
-                {"params": jax.random.PRNGKey(0),
-                 "dropout": jax.random.PRNGKey(1)},
-                jnp.zeros((tb, 1, 64, 64, 3), jnp.float32), train=True)
-        variables = jax.device_put(variables, dev)
+        return ClipPSP(encoder=enc, num_class=args.num_class, fc_dim=2048,
+                       dtype=dtype)
+
+    model_f32 = build(None)
+    model_bf16 = build(jnp.bfloat16)
+
+    # one f32 init shared by both runs (params are f32 either way; only the
+    # compute dtype differs)
+    with jax.default_device(jax.devices("cpu")[0]):
+        variables = model_f32.init(
+            {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+            jnp.zeros((args.clip_num, 1, 64, 64, 3), jnp.float32), train=True)
+    variables = jax.device_put(variables, dev)
+
+    # seeded synthetic batches: a fixed pool cycled so both runs see
+    # bit-identical inputs in the same order
+    rng = np.random.default_rng(0)
+    pool = []
+    for _ in range(8):
+        imgs = rng.standard_normal(
+            (args.clip_num, args.batch, args.crop, args.crop, 3)
+        ).astype(np.float32)
+        labels = rng.integers(
+            -1, args.num_class, (args.clip_num, args.batch, args.crop,
+                                 args.crop)).astype(np.int32)
+        pool.append({"img": jnp.asarray(imgs), "labels": jnp.asarray(labels)})
+
+    def run(model):
         tx = create_clip_optimizer(variables["params"], lr=0.002,
-                                   max_iters=steps + 10)
+                                   max_iters=args.steps)
         state = TrainState.create(variables, tx)
         step_fn = make_train_step(model, tx, loss_fn=clip_psp_loss,
                                   donate=False)
         key = jax.random.PRNGKey(0)
-        ls = []
-        for i in range(steps):
-            b = batches[i % len(batches)]
-            state, metrics = step_fn(
-                state, {"img": jnp.asarray(b["img"]),
-                        "labels": jnp.asarray(b["labels"])}, key)
-            ls.append(float(metrics["loss"]))
-        losses[name] = np.asarray(ls)
-        print(f"{name}: first {ls[0]:.5f} last {ls[-1]:.5f}",
-              file=sys.stderr, flush=True)
+        losses = []
+        t0 = time.perf_counter()
+        for i in range(args.steps):
+            state, metrics = step_fn(state, pool[i % len(pool)], key)
+            losses.append(float(metrics["loss"]))
+        wall = time.perf_counter() - t0
+        return np.asarray(losses), state, wall
 
-    rel = np.abs(losses["bf16"] - losses["f32"]) / np.maximum(
-        np.abs(losses["f32"]), 1e-8)
-    print(json.dumps({
-        "steps": steps, "crop": crop,
-        "rel_drift_mean": round(float(rel.mean()), 5),
-        "rel_drift_max": round(float(rel.max()), 5),
-        "rel_drift_final": round(float(rel[-1]), 5),
-        "f32_final": round(float(losses["f32"][-1]), 5),
-        "bf16_final": round(float(losses["bf16"][-1]), 5),
-    }))
+    loss_f32, state_f32, wall_f32 = run(model_f32)
+    loss_bf16, state_bf16, wall_bf16 = run(model_bf16)
+
+    rel = np.abs(loss_bf16 - loss_f32) / np.maximum(np.abs(loss_f32), 1e-8)
+    # parameter drift at the end of the trajectory (relative L2 over leaves)
+    leaves32 = jax.tree_util.tree_leaves(state_f32.params)
+    leaves16 = jax.tree_util.tree_leaves(state_bf16.params)
+    num = float(sum(jnp.sum((a - b) ** 2) for a, b in zip(leaves32, leaves16)))
+    den = float(sum(jnp.sum(a ** 2) for a in leaves32))
+    param_rel_l2 = (num / max(den, 1e-30)) ** 0.5
+
+    out = {
+        "steps": args.steps,
+        "shape": f"T={args.clip_num} B={args.batch} {args.crop}x{args.crop}",
+        "loss_rel_drift_max": round(float(rel.max()), 6),
+        "loss_rel_drift_mean": round(float(rel.mean()), 6),
+        "loss_rel_drift_last10_max": round(float(rel[-10:].max()), 6),
+        "final_loss_f32": round(float(loss_f32[-1]), 6),
+        "final_loss_bf16": round(float(loss_bf16[-1]), 6),
+        "param_rel_l2_drift": round(param_rel_l2, 6),
+        "wall_f32_s": round(wall_f32, 1),
+        "wall_bf16_s": round(wall_bf16, 1),
+        "device": dev.device_kind,
+    }
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":
-    a = sys.argv[1:]
-    main(int(a[0]) if a else 100, int(a[1]) if len(a) > 1 else 128)
+    main()
