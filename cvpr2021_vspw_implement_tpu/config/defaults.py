@@ -90,7 +90,17 @@ _C.TPU.remat = False
 # and microbatches per step
 _C.TPU.pipeline_stages = 0
 _C.TPU.pipeline_micro = 1
+# backward schedule of the pipelined tail: "gpipe" (plain autodiff; XLA
+# keeps O(M) microbatch activations live) or "1f1b" (hand-scheduled
+# interleaved backward; O(P) live microbatches + one recompute of the
+# section — see models/pipeline.py)
+_C.TPU.pipeline_schedule = "gpipe"
 # host->device prefetch depth of the input pipeline
 _C.TPU.prefetch = 2
+# RAFT refinement iterations for the frozen-flow methods (netwarp/etc).
+# The reference hard-codes 20 (net_warp.py's raft call); fewer iterations
+# trade flow accuracy for train-step time — see ROADMAP "RAFT iterations
+# recipe" for the measured EPE-vs-iters and ms-vs-iters curves.
+_C.TPU.raft_iters = 20
 
 cfg = _C

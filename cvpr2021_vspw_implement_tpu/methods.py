@@ -22,7 +22,8 @@ def _build_clip_psp(cfg, args, dtype):
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
                                      remat=cfg.TPU.remat, args=args,
                                      pipeline_stages=cfg.TPU.pipeline_stages,
-                                     pipeline_micro=cfg.TPU.pipeline_micro)
+                                     pipeline_micro=cfg.TPU.pipeline_micro,
+                                     pipeline_schedule=cfg.TPU.pipeline_schedule)
     model = ClipPSP(encoder=enc, num_class=args.num_class,
                     fc_dim=cfg.MODEL.fc_dim,
                     psp_weight=getattr(args, "psp_weight", False), dtype=dtype)
@@ -36,7 +37,8 @@ def _build_clip_ocr(cfg, args, dtype):
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
                                      remat=cfg.TPU.remat, args=args,
                                      pipeline_stages=cfg.TPU.pipeline_stages,
-                                     pipeline_micro=cfg.TPU.pipeline_micro)
+                                     pipeline_micro=cfg.TPU.pipeline_micro,
+                                     pipeline_schedule=cfg.TPU.pipeline_schedule)
     model = ClipOCRNet(encoder=enc, num_class=args.num_class,
                        clipocr_all=getattr(args, "clipocr_all", False),
                        dtype=dtype)
@@ -52,9 +54,11 @@ def _build_netwarp(cfg, args, dtype, ocr: bool = False):
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
                                      remat=cfg.TPU.remat, args=args,
                                      pipeline_stages=cfg.TPU.pipeline_stages,
-                                     pipeline_micro=cfg.TPU.pipeline_micro)
+                                     pipeline_micro=cfg.TPU.pipeline_micro,
+                                     pipeline_schedule=cfg.TPU.pipeline_schedule)
     model = NetWarp(encoder=enc, num_class=args.num_class,
-                    fc_dim=cfg.MODEL.fc_dim, ocr=ocr, dtype=dtype)
+                    fc_dim=cfg.MODEL.fc_dim, ocr=ocr,
+                    raft_iters=cfg.TPU.raft_iters, dtype=dtype)
     loss = partial(netwarp_loss, deep_sup_scale=args.deepsup_scale, ocr=ocr)
     return model, loss
 
@@ -67,9 +71,11 @@ def _build_etc(cfg, args, dtype, ocr: bool = False):
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
                                      remat=cfg.TPU.remat, args=args,
                                      pipeline_stages=cfg.TPU.pipeline_stages,
-                                     pipeline_micro=cfg.TPU.pipeline_micro)
+                                     pipeline_micro=cfg.TPU.pipeline_micro,
+                                     pipeline_schedule=cfg.TPU.pipeline_schedule)
     model = ETC(encoder=enc, num_class=args.num_class,
-                fc_dim=cfg.MODEL.fc_dim, ocr=ocr, dtype=dtype)
+                fc_dim=cfg.MODEL.fc_dim, ocr=ocr,
+                raft_iters=cfg.TPU.raft_iters, dtype=dtype)
     loss = partial(etc_loss, deep_sup_scale=args.deepsup_scale,
                    st_weight=args.st_weight, ocr=ocr)
     return model, loss
@@ -81,7 +87,8 @@ def _build_our_warp(cfg, args, dtype):
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
                                      remat=cfg.TPU.remat, args=args,
                                      pipeline_stages=cfg.TPU.pipeline_stages,
-                                     pipeline_micro=cfg.TPU.pipeline_micro)
+                                     pipeline_micro=cfg.TPU.pipeline_micro,
+                                     pipeline_schedule=cfg.TPU.pipeline_schedule)
     model = ClipWarpNet(encoder=enc, num_class=args.num_class,
                         fc_dim=cfg.MODEL.fc_dim, args=args, dtype=dtype)
     loss = partial(clip_warp_loss, deep_sup_scale=args.deepsup_scale,
@@ -96,7 +103,8 @@ def _build_propnet(cfg, args, dtype):
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
                                      remat=cfg.TPU.remat, args=args,
                                      pipeline_stages=cfg.TPU.pipeline_stages,
-                                     pipeline_micro=cfg.TPU.pipeline_micro)
+                                     pipeline_micro=cfg.TPU.pipeline_micro,
+                                     pipeline_schedule=cfg.TPU.pipeline_schedule)
     model = PropNet(encoder=enc, num_class=args.num_class,
                     fc_dim=cfg.MODEL.fc_dim, args=args, dtype=dtype)
     loss = partial(propnet_loss, deep_sup_scale=args.deepsup_scale)
@@ -109,7 +117,8 @@ def _build_warp_merge(cfg, args, dtype):
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
                                      remat=cfg.TPU.remat, args=args,
                                      pipeline_stages=cfg.TPU.pipeline_stages,
-                                     pipeline_micro=cfg.TPU.pipeline_micro)
+                                     pipeline_micro=cfg.TPU.pipeline_micro,
+                                     pipeline_schedule=cfg.TPU.pipeline_schedule)
     model = OurWarpMerge(encoder=enc, num_class=args.num_class,
                          fc_dim=cfg.MODEL.fc_dim, args=args, dtype=dtype)
     loss = partial(warp_merge_loss, deep_sup_scale=args.deepsup_scale)
@@ -122,7 +131,8 @@ def _build_nonlocal3d(cfg, args, dtype):
                                      fc_dim=cfg.MODEL.fc_dim, dtype=dtype,
                                      remat=cfg.TPU.remat, args=args,
                                      pipeline_stages=cfg.TPU.pipeline_stages,
-                                     pipeline_micro=cfg.TPU.pipeline_micro)
+                                     pipeline_micro=cfg.TPU.pipeline_micro,
+                                     pipeline_schedule=cfg.TPU.pipeline_schedule)
     model = NonLocal3D(encoder=enc, num_class=args.num_class,
                        fc_dim=cfg.MODEL.fc_dim, dtype=dtype)
     return model, nonlocal3d_loss

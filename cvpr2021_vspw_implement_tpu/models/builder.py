@@ -17,12 +17,14 @@ class ModelBuilder:
     @staticmethod
     def build_encoder(arch: str = "resnet50dilated", fc_dim: int = 512,
                       dtype: Any = None, remat: bool = False, args=None,
-                      pipeline_stages: int = 0, pipeline_micro: int = 1):
+                      pipeline_stages: int = 0, pipeline_micro: int = 1,
+                      pipeline_schedule: str = "gpipe"):
         arch = arch.lower()
         common = dict(dtype=dtype, remat=remat)
         if pipeline_stages:
             common.update(pipeline_stages=pipeline_stages,
-                          pipeline_micro=pipeline_micro)
+                          pipeline_micro=pipeline_micro,
+                          pipeline_schedule=pipeline_schedule)
         if arch == "mobilenetv2dilated":
             return mobilenet.MobileNetV2Dilated(dilate_scale=8, dtype=dtype)
         if arch == "resnet18":

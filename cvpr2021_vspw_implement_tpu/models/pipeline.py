@@ -97,19 +97,37 @@ def _maybe_shard_buf(x):
 
 class PipelinedBlocks(nn.Module):
     """GPipe pipeline over ``n_blocks`` identical blocks split into
-    ``n_stages`` stages of ``n_blocks // n_stages`` blocks each."""
+    ``n_stages`` stages of ``n_blocks // n_stages`` blocks each.
+
+    ``schedule`` selects how the BACKWARD pass is produced:
+
+    * ``"gpipe"`` — plain autodiff through the fill-and-drain forward.
+      XLA keeps every stage-boundary activation of every microbatch live
+      for the backward: O(M·P) microbatch-sized buffers (measured as the
+      binding memory cost, ROADMAP "Pipeline measurements").
+    * ``"1f1b"`` — a hand-scheduled backward (``nn.custom_vjp``): the
+      forward saves ONLY the section inputs; the backward interleaves a
+      stage-recompute wave (down) with the cotangent wave (up), exactly a
+      1F1B wavefront, so at most ``2P`` microbatch-sized ring slots are
+      live per stage — peak activation memory O(P²·mb), independent of M.
+      Costs one extra forward recompute of the section (the same trade as
+      block remat).  Losses and grads are bit-compatible with "gpipe"
+      (same per-microbatch BN semantics; sums reassociated).
+    """
 
     block: type
     n_blocks: int
     n_stages: int
     n_micro: int = 1
     block_kwargs: Any = None
+    schedule: str = "gpipe"
 
     @nn.compact
     def __call__(self, x, train: bool = False):
         P_, M = self.n_stages, self.n_micro
         assert self.n_blocks % P_ == 0, (
             f"n_blocks={self.n_blocks} must divide into n_stages={P_}")
+        assert self.schedule in ("gpipe", "1f1b"), self.schedule
         k = self.n_blocks // P_
         B = x.shape[0]
         # shape-independent params: fall back to M=1 when the (init-time or
@@ -119,34 +137,140 @@ class PipelinedBlocks(nn.Module):
         mb = B // M
         micro = x.reshape(M, mb, *x.shape[1:])
 
+        chain_kwargs = dict(block=self.block, k=k,
+                            block_kwargs=tuple(sorted(
+                                (self.block_kwargs or {}).items())),
+                            train=train)
         Stage = nn.vmap(
             BlockChain,
             in_axes=(0, 0), out_axes=0,
             variable_axes={"params": 0, "batch_stats": 0},
             split_rngs={"params": True},
         )
-        stage = Stage(block=self.block, k=k,
-                      block_kwargs=tuple(sorted(
-                          (self.block_kwargs or {}).items())),
-                      train=train, name="stages")
+        stage = Stage(**chain_kwargs, name="stages")
 
-        buf = jnp.zeros((P_, mb) + x.shape[1:], x.dtype)
-        stage_idx = jnp.arange(P_)
-        outs = []
-        for t in range(M + P_ - 1):
-            inp = micro[t] if t < M else jnp.zeros_like(micro[0])
-            # shift-in: slot p receives slot p-1's activation — under a
-            # 'pipe'-sharded buffer this is the inter-stage collective-permute
-            buf = jnp.concatenate([inp[None].astype(buf.dtype), buf[:-1]], 0)
-            buf = _maybe_shard_buf(buf)
-            # slot p carries microbatch t-p; weight 0 kills the running-stat
-            # update on bubble slots (output is discarded anyway)
-            valid = ((t - stage_idx) >= 0) & ((t - stage_idx) < M)
-            sw = valid.astype(jnp.float32)
-            buf = stage(buf, sw)
-            if t >= P_ - 1:
-                outs.append(buf[-1])
-        return jnp.concatenate(outs, 0)
+        def run_fwd(mdl, mic):
+            """Fill-and-drain forward; returns [M, mb, ...] outputs."""
+            buf = jnp.zeros((P_, mb) + x.shape[1:], x.dtype)
+            stage_idx = jnp.arange(P_)
+            outs = []
+            for t in range(M + P_ - 1):
+                inp = mic[t] if t < M else jnp.zeros_like(mic[0])
+                # shift-in: slot p receives slot p-1's activation — under a
+                # 'pipe'-sharded buffer this is the inter-stage
+                # collective-permute
+                buf = jnp.concatenate(
+                    [inp[None].astype(buf.dtype), buf[:-1]], 0)
+                buf = _maybe_shard_buf(buf)
+                # slot p carries microbatch t-p; weight 0 kills the
+                # running-stat update on bubble slots (output is discarded)
+                valid = ((t - stage_idx) >= 0) & ((t - stage_idx) < M)
+                sw = valid.astype(jnp.float32)
+                buf = mdl(buf, sw)
+                if t >= P_ - 1:
+                    outs.append(buf[-1])
+            return jnp.stack(outs, 0)
+
+        if self.schedule == "gpipe" or self.is_initializing() \
+                or P_ == 1 and M == 1:
+            out = run_fwd(stage, micro)
+            return out.reshape(B, *out.shape[2:])
+
+        section = nn.custom_vjp(
+            lambda mdl, mic: run_fwd(mdl, mic),
+            forward_fn=lambda mdl, mic: (run_fwd(mdl, mic),
+                                         (mdl.variables, mic)),
+            backward_fn=_make_1f1b_backward(chain_kwargs, P_, M, mb))
+        out = section(stage, micro)
+        return out.reshape(B, *out.shape[2:])
+
+
+def _make_1f1b_backward(chain_kwargs, P_, M, mb):
+    """Build the hand-scheduled 1F1B backward for the pipelined section.
+
+    The forward saved only (stage variables snapshot, section-input
+    microbatches).  The backward runs ``M + 2P - 1`` ticks; each tick does
+    one vmapped stage-forward (the recompute wave, moving down) and one
+    vmapped stage-vjp (the cotangent wave, moving up).  Stage ``p``
+    recomputes microbatch ``m``'s input at tick ``m + p`` and consumes it
+    for the vjp at tick ``m + 2P - 1 - p``, so a ring of ``S = 2P`` slots
+    per stage bounds the live activations — the O(M) live-microbatch term
+    of plain GPipe autodiff (ROADMAP "Pipeline measurements") becomes O(P).
+
+    BN train-mode outputs depend only on the batch statistics of the input
+    itself (never on running stats), so the recompute is exact; mutated
+    stats inside the vjp are discarded (the forward already updated them).
+    """
+    chain = BlockChain(**chain_kwargs)
+    S = 2 * P_
+
+    def apply_chain(p, s, xx):
+        y, _ = chain.apply({"params": p, "batch_stats": s}, xx,
+                           jnp.float32(0.0), mutable=["batch_stats"])
+        return y
+
+    fwd_stage = jax.vmap(apply_chain)
+
+    def vjp_one(p, s, xx, g):
+        _, vjp_fn = jax.vjp(lambda pp, xi: apply_chain(pp, s, xi), p, xx)
+        return vjp_fn(g)
+
+    bwd_stage = jax.vmap(vjp_one)
+
+    def backward(res, dout):
+        snap, mic = res
+        params = snap["params"]
+        stats = snap.get("batch_stats", {})
+        zeros_x = jnp.zeros_like(mic[0])
+        buf_f = jnp.zeros((P_, mb) + mic.shape[2:], mic.dtype)
+        buf_b = jnp.zeros((P_,) + dout.shape[1:], dout.dtype)
+        ring = jnp.zeros((P_, S, mb) + mic.shape[2:], mic.dtype)
+        grad = jax.tree_util.tree_map(jnp.zeros_like, params)
+        dmic = [None] * M
+
+        def upd(r, v, i):
+            return jax.lax.dynamic_update_index_in_dim(r, v, i, 0)
+
+        def pick(r, i):
+            return jax.lax.dynamic_index_in_dim(r, i, 0, keepdims=False)
+
+        for t in range(M + 2 * P_ - 1):
+            # ---- cotangent wave (up) reads the ring BEFORE this tick's
+            # recompute wave writes it (slot reuse is tightest at stage 0)
+            if t >= P_:
+                ridx = jnp.asarray([(t - 2 * P_ + 1 + p) % S
+                                    for p in range(P_)])
+                x_res = jax.vmap(pick)(ring, ridx)
+                g_top = dout[t - P_] if 0 <= t - P_ < M \
+                    else jnp.zeros_like(dout[0])
+                buf_b = jnp.concatenate(
+                    [buf_b[1:], g_top[None].astype(buf_b.dtype)], 0)
+                buf_b = _maybe_shard_buf(buf_b)
+                dp, dx = bwd_stage(params, stats, x_res,
+                                   buf_b.astype(x_res.dtype))
+                valid = jnp.asarray(
+                    [1.0 if 0 <= t - 2 * P_ + 1 + p < M else 0.0
+                     for p in range(P_)], mic.dtype)
+                grad = jax.tree_util.tree_map(
+                    lambda acc, d: acc + d * valid.reshape(
+                        (P_,) + (1,) * (d.ndim - 1)).astype(d.dtype),
+                    grad, dp)
+                buf_b = dx * valid.reshape((P_,) + (1,) * (dx.ndim - 1))
+                m0 = t - 2 * P_ + 1
+                if 0 <= m0 < M:
+                    dmic[m0] = buf_b[0]
+            # ---- recompute wave (down), identical to the forward schedule
+            if t < M + P_ - 1:
+                inp = mic[t] if t < M else zeros_x
+                buf_f = jnp.concatenate(
+                    [inp[None].astype(buf_f.dtype), buf_f[:-1]], 0)
+                buf_f = _maybe_shard_buf(buf_f)
+                widx = jnp.asarray([(t - p) % S for p in range(P_)])
+                ring = jax.vmap(upd)(ring, buf_f, widx)
+                buf_f = fwd_stage(params, stats, buf_f)
+        return ({"params": grad}, jnp.stack(dmic, 0).astype(mic.dtype))
+
+    return backward
 
 
 def stack_pipeline_params(tree, prefix: str, n_tail: int, n_stages: int,

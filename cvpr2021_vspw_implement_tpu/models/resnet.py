@@ -131,6 +131,10 @@ class ResNetFeatures(nn.Module):
     # collective-permute.  0 = off.
     pipeline_stages: int = 0
     pipeline_micro: int = 1
+    # backward schedule of the pipelined tail: "gpipe" (plain autodiff) or
+    # "1f1b" (hand-scheduled interleaved backward, O(P) live microbatches —
+    # see models/pipeline.py)
+    pipeline_schedule: str = "gpipe"
     dtype: Any = None
 
     @nn.compact
@@ -194,6 +198,7 @@ class ResNetFeatures(nn.Module):
                     n_blocks=self.layers[stage] - 1,
                     n_stages=self.pipeline_stages,
                     n_micro=self.pipeline_micro,
+                    schedule=self.pipeline_schedule,
                     block_kwargs={"planes": planes, "stride": 1,
                                   "dilation": dilations[stage],
                                   "groups": self.groups, "dtype": dt},

@@ -53,6 +53,10 @@ def main():
     ap.add_argument("--tpu", action="store_true",
                     help="single-chip stage-stacked mode on the real TPU: "
                          "no mesh, measures schedule+TapConv overhead only")
+    ap.add_argument("--schedule", default="gpipe",
+                    choices=["gpipe", "1f1b"],
+                    help="backward schedule of the pipelined tail "
+                         "(models/pipeline.py)")
     ap.add_argument("--remat", action="store_true",
                     help="block-level nn.remat inside the trunk: the GPipe "
                          "memory lever (saved residuals shrink to block "
@@ -147,14 +151,15 @@ def main():
         if gb % M or (gb // M) % n_data:
             continue
         pipe = resnet.resnet101(dilate_scale=8, pipeline_stages=n_pipe,
-                                pipeline_micro=M, remat=args.remat)
+                                pipeline_micro=M, remat=args.remat,
+                                pipeline_schedule=args.schedule)
         vp = pipeline_variables(vb, n_tail=22, n_stages=n_pipe)
         if single:
             g = loss_fn(pipe)
             dt = timed(g, vp["params"], vp["batch_stats"], x)
             comp = g.lower(vp["params"], vp["batch_stats"], x).compile()
             mem = comp.memory_analysis()
-            cfg = f"pp{n_pipe}_stacked_1chip M={M}"
+            cfg = f"pp{n_pipe}_stacked_1chip M={M} {args.schedule}"
         else:
             mesh = make_pipe_mesh(n_data, n_pipe, devices=devs)
             with mesh:
@@ -165,7 +170,7 @@ def main():
                 comp = g.lower(vp_sh["params"], vp_sh["batch_stats"],
                                xs).compile()
                 mem = comp.memory_analysis()
-            cfg = f"dp{n_data}xpp{n_pipe} M={M}"
+            cfg = f"dp{n_data}xpp{n_pipe} M={M} {args.schedule}"
         rows.append({
             "config": cfg + ("+remat" if args.remat else ""),
             "step_ms": dt and round(dt * 1e3, 1),

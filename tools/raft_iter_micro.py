@@ -78,6 +78,10 @@ def main():
     gp["fh_conv1"] = {"kernel": f(3, 3, 128, 256).astype(cdt),
                       "bias": f(256)}
     gp["fh_conv2"] = {"kernel": f(3, 3, 256, 2).astype(cdt), "bias": f(2)}
+    # the XLA reference formulation keeps conv dtypes uniform — give it a
+    # bias-cast copy (the fused kernels take f32 biases by design)
+    gp_xla = {k: {"kernel": v["kernel"], "bias": v["bias"].astype(cdt)}
+              for k, v in gp.items()}
 
     gy = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 1)
     gx = jax.lax.broadcasted_iota(jnp.float32, (b, h, w), 2)
@@ -117,26 +121,29 @@ def main():
     def motion_body(fn):
         corr0 = f(b, h, w, ntap).astype(cdt)
         def body(flow, _):
-            m = fn(corr0, flow, mp)
+            m = fn(corr0, flow.astype(cdt), mp)
             return 1e-3 * m[..., -2:].astype(jnp.float32), None
         return body, 1e-3 * f(b, h, w, 2)
 
-    def gru_body(fn):
+    def gru_body(fn, cast_net=False):
         x0 = f(b, h, w, cin - 128).astype(cdt)
+        gpp = gp_xla if cast_net else gp
         def body(net, _):
-            net, delta = fn(net, x0, gp)
-            return net + 1e-6 * delta.sum(), None
+            net2, delta = fn(net.astype(cdt) if cast_net else net, x0, gpp)
+            return net2.astype(jnp.float32) + 1e-6 * delta.sum(), None
         return body
 
-    def chain_body(lookup, motion, gru):
+    def chain_body(lookup, motion, gru, cast_net=False):
         def body(carry, _):
             net, coords = carry
             corr = lookup(pyramid, coords, r)
             flow = coords - coords0
-            m = motion(corr.astype(cdt), flow, mp)
+            m = motion(corr.astype(cdt), flow.astype(cdt), mp)
             gin = jnp.concatenate([inp, m.astype(jnp.float32)], -1)
-            net, delta = gru(net, gin.astype(cdt), gp)
-            return (net, coords + delta.astype(jnp.float32)), None
+            net, delta = gru(net.astype(cdt) if cast_net else net,
+                             gin.astype(cdt), gp_xla if cast_net else gp)
+            return (net.astype(jnp.float32),
+                    coords + delta.astype(jnp.float32)), None
         return body
 
     rows = {}
@@ -157,7 +164,7 @@ def main():
 
     run, c0 = scan_of(gru_body(gru_flowhead_fused), net0)
     rows["gru"] = timed(run, c0)
-    run, c0 = scan_of(gru_body(gru_flowhead_xla), net0)
+    run, c0 = scan_of(gru_body(gru_flowhead_xla, cast_net=True), net0)
     rows["gru_xla"] = timed(run, c0)
 
     run, c0 = scan_of(chain_body(lookup_corr_pyramid_fused,
@@ -165,7 +172,8 @@ def main():
                       (net0, coords0))
     rows["chain"] = timed(run, c0)
     run, c0 = scan_of(chain_body(lookup_corr_pyramid, motion_encoder_xla,
-                                 gru_flowhead_xla), (net0, coords0))
+                                 gru_flowhead_xla, cast_net=True),
+                      (net0, coords0))
     rows["chain_xla"] = timed(run, c0)
 
     base = rows["noop"]

@@ -38,6 +38,7 @@ def main():
     ap.add_argument("--trials", type=int, default=3)
     ap.add_argument("--rbg", action="store_true")
     ap.add_argument("--netwarp", action="store_true")
+    ap.add_argument("--netwarp_parts", action="store_true")
     ap.add_argument("--netwarp_iters", type=int, nargs="+", default=[20])
     ap.add_argument("--crops", type=int, nargs="+", default=[479, 480, 512])
     args = ap.parse_args()
@@ -108,6 +109,113 @@ def main():
             float(jnp.sum(jnp.stack(losses)))
             best = min(best, (time.perf_counter() - t0) / k)
         return best * 1e3, state
+
+    if args.netwarp_parts:
+        # decomposition of the netwarp train step at the recipe shape
+        # (b=2, 479²): standalone RAFT fwd, encoder fwd+bwd at the 2B=4
+        # concat batch, and the netwarp fwd-only loss — all chained k=4
+        # with one readback, same as the step measurements
+        from cvpr2021_vspw_implement_tpu.models.netwarp import (NetWarp,
+                                                                netwarp_loss)
+        from cvpr2021_vspw_implement_tpu.models.raft import (
+            RAFT, pad_to_multiple_of_8)
+        crop, k = 479, 4
+        nimgs = jnp.asarray(
+            rng.standard_normal((2, 2, crop, crop, 3)).astype(np.float32))
+        nlabels = jnp.asarray(rng.integers(0, 124, (2, 2, crop, crop)),
+                              jnp.int32)
+
+        def chained(fn, *inputs):
+            out = fn(*inputs)
+            float(jnp.sum(out[0] if isinstance(out, tuple) else out))
+            best = float("inf")
+            for _ in range(args.trials):
+                t0 = time.perf_counter()
+                vals = []
+                for _i in range(k):
+                    out = fn(*inputs)
+                    out = out[0] if isinstance(out, tuple) else out
+                    vals.append(jnp.sum(out.astype(jnp.float32)))
+                float(jnp.sum(jnp.stack(vals)))
+                best = min(best, (time.perf_counter() - t0) / k)
+            return best * 1e3
+
+        # RAFT standalone fwd (as inside _flow: padded, test_mode)
+        raft = RAFT(iters=20, dtype=jnp.bfloat16)
+        pad_t, _ = pad_to_multiple_of_8((nimgs[1] + 1.0) * 127.5)
+        pad_p, _ = pad_to_multiple_of_8((nimgs[0] + 1.0) * 127.5)
+        with jax.default_device(jax.devices("cpu")[0]):
+            rvars = raft.init(jax.random.PRNGKey(0),
+                              jnp.zeros((1, 64, 64, 3), jnp.float32),
+                              jnp.zeros((1, 64, 64, 3), jnp.float32))
+        rvars = jax.device_put(rvars, dev)
+        raft_fwd = jax.jit(lambda a, b: raft.apply(rvars, a, b,
+                                                   test_mode=True)[1])
+        print(json.dumps({"config": "raft_fwd_i20_b2_480p",
+                          "ms": round(chained(raft_fwd, pad_t, pad_p), 2)}),
+              flush=True)
+        raft1 = RAFT(iters=1, dtype=jnp.bfloat16)
+        raft1_fwd = jax.jit(lambda a, b: raft1.apply(rvars, a, b,
+                                                     test_mode=True)[1])
+        print(json.dumps({"config": "raft_fwd_i1_b2_480p",
+                          "ms": round(chained(raft1_fwd, pad_t, pad_p), 2)}),
+              flush=True)
+
+        # encoder fwd+bwd at the 2B=4 concat batch
+        enc = ModelBuilder.build_encoder("resnet101dilated",
+                                         dtype=jnp.bfloat16)
+        with jax.default_device(jax.devices("cpu")[0]):
+            evars = enc.init(jax.random.PRNGKey(0),
+                             jnp.zeros((1, 64, 64, 3), jnp.float32),
+                             train=True)
+        evars = jax.device_put(evars, dev)
+        enc_in = jnp.concatenate([nimgs[1], nimgs[0]], axis=0)
+
+        def enc_loss(p, x):
+            outs, _ = enc.apply({"params": p,
+                                 "batch_stats": evars["batch_stats"]},
+                                x, train=True, mutable=["batch_stats"])
+            return jnp.sum(outs[-1].astype(jnp.float32) ** 2) * 1e-6
+
+        enc_fwd = jax.jit(lambda x: enc.apply(
+            {"params": evars["params"],
+             "batch_stats": evars["batch_stats"]},
+            x, train=True, mutable=["batch_stats"])[0][-1])
+        enc_fwdbwd = jax.jit(lambda x: jax.grad(enc_loss)(
+            evars["params"], x)["conv1"]["kernel"])
+        print(json.dumps({"config": "encoder_fwd_b4",
+                          "ms": round(chained(enc_fwd, enc_in), 2)}),
+              flush=True)
+        print(json.dumps({"config": "encoder_fwdbwd_b4",
+                          "ms": round(chained(enc_fwdbwd, enc_in), 2)}),
+              flush=True)
+
+        # netwarp fwd-only loss
+        enc2 = ModelBuilder.build_encoder("resnet101dilated",
+                                          dtype=jnp.bfloat16)
+        nmodel = NetWarp(encoder=enc2, num_class=124, fc_dim=2048,
+                         raft_iters=20, dtype=jnp.bfloat16)
+        with jax.default_device(jax.devices("cpu")[0]):
+            nvars = nmodel.init({"params": jax.random.PRNGKey(0),
+                                 "dropout": jax.random.PRNGKey(1)},
+                                jnp.zeros((2, 1, 64, 64, 3), jnp.float32),
+                                train=True)
+        nvars = jax.device_put(nvars, dev)
+        batch = {"img": nimgs, "labels": nlabels}
+
+        def nw_fwd(kk):
+            outs, _ = nmodel.apply(
+                {"params": nvars["params"],
+                 "batch_stats": nvars["batch_stats"]},
+                nimgs, train=True, mutable=["batch_stats"],
+                rngs={"dropout": kk})
+            loss, _ = netwarp_loss(outs, batch)
+            return loss
+        nw_fwd_j = jax.jit(nw_fwd)
+        print(json.dumps({"config": "netwarp_fwd_only",
+                          "ms": round(chained(nw_fwd_j, key), 2)}),
+              flush=True)
+        return
 
     if args.netwarp:
         from cvpr2021_vspw_implement_tpu.models.netwarp import (NetWarp,
