@@ -223,23 +223,42 @@ class UPerNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, conv_out, train: bool = False):
+    def __call__(self, conv_out, train: bool = False, valid_hw=None,
+                 pad_hw=None):
+        """``valid_hw``/``pad_hw``: INPUT-resolution runtime valid size and
+        static padded size for width-bucketed masked eval (ops/masked.py).
+        Unlike the OS-8 heads (whose levels share one valid size), the FPN
+        levels here sit at different strides, so each level's valid region
+        is derived from the input-level pair via the ratio rule.  Masking
+        points: every 3x3-conv input (so boundary taps read the zeros SAME
+        padding would supply) and every resize (the _rt variants read only
+        valid taps and zero the padded output region)."""
+        masked = valid_hw is not None
+        if masked:
+            fv = [feature_valid(c.shape[1], c.shape[2], valid_hw, pad_hw)
+                  for c in conv_out]
         conv5 = conv_out[-1]
         h, w = conv5.shape[1:3]
+        if masked:
+            conv5 = mask_valid(conv5, fv[-1])
         ppm_out = [conv5]
         for i, scale in enumerate(self.pool_scales):
-            p = adaptive_avg_pool2d(conv5, scale)
-            p = resize_bilinear(p, (h, w))
+            p = adaptive_avg_pool2d(conv5, scale) if not masked \
+                else adaptive_avg_pool2d_rt(conv5, scale, fv[-1])
+            p = resize_bilinear(p, (h, w)) if not masked \
+                else resize_bilinear_rt(p, (h, w), (scale, scale), fv[-1])
             p = Conv(512, 1, use_bias=False, dtype=self.dtype,
                      name=f"ppm_conv_{i}_conv")(p)
             p = BatchNorm2d(512, dtype=self.dtype, bias_init=_bn_bias_init,
                             name=f"ppm_conv_{i}_bn")(p, train)
-            ppm_out.append(nn.relu(p))
+            p = nn.relu(p)
+            ppm_out.append(mask_valid(p, fv[-1]) if masked else p)
         f = ConvBNReLU(self.fpn_dim, dtype=self.dtype,
                        bn_bias_init=_bn_bias_init, name="ppm_last_conv")(
             jnp.concatenate(ppm_out, axis=-1), train)
 
         fpn_features = [f]
+        f_fv = fv[-1] if masked else None
         for i in reversed(range(len(conv_out) - 1)):
             lateral = Conv(self.fpn_dim, 1, use_bias=False, dtype=self.dtype,
                            name=f"fpn_in_{i}_conv")(conv_out[i])
@@ -247,7 +266,13 @@ class UPerNet(nn.Module):
                                   bias_init=_bn_bias_init,
                                   name=f"fpn_in_{i}_bn")(lateral, train)
             lateral = nn.relu(lateral)
-            f = lateral + resize_bilinear(f, lateral.shape[1:3])
+            if masked:
+                lateral = mask_valid(lateral, fv[i])
+                f = lateral + resize_bilinear_rt(f, lateral.shape[1:3],
+                                                 f_fv, fv[i])
+                f_fv = fv[i]
+            else:
+                f = lateral + resize_bilinear(f, lateral.shape[1:3])
             fpn_features.append(
                 ConvBNReLU(self.fpn_dim, dtype=self.dtype,
                            bn_bias_init=_bn_bias_init,
@@ -255,8 +280,15 @@ class UPerNet(nn.Module):
         fpn_features.reverse()  # [P2 ... P5]
 
         out_hw = fpn_features[0].shape[1:3]
-        fusion = [fpn_features[0]] + [
-            resize_bilinear(p, out_hw) for p in fpn_features[1:]]
+        if masked:
+            # fpn_features[j] sits at conv_out[j]'s stride (P5 kept at fv[-1])
+            lvl = list(range(len(conv_out) - 1)) + [len(conv_out) - 1]
+            fusion = [mask_valid(fpn_features[0], fv[0])] + [
+                resize_bilinear_rt(p, out_hw, fv[lvl[j + 1]], fv[0])
+                for j, p in enumerate(fpn_features[1:])]
+        else:
+            fusion = [fpn_features[0]] + [
+                resize_bilinear(p, out_hw) for p in fpn_features[1:]]
         x = ConvBNReLU(self.fpn_dim, dtype=self.dtype,
                        bn_bias_init=_bn_bias_init, name="conv_last_0")(
             jnp.concatenate(fusion, axis=-1), train)

@@ -19,6 +19,7 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ..ops.interpolate import resize_bilinear
+from ..ops.masked import feature_valid, resize_bilinear_rt
 from .layers import BatchNorm2d, Conv, kaiming_normal_fan_out
 from .resnet import BasicBlock, Bottleneck
 
@@ -54,8 +55,18 @@ class HighResolutionModule(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, xs, train: bool = False):
+    def __call__(self, xs, train: bool = False, valid_hw=None, pad_hw=None):
+        """``valid_hw``/``pad_hw``: INPUT-resolution runtime valid size and
+        static padded size for width-bucketed masked eval (ops/masked.py).
+        Convs/BNs are re-zeroed by the caller's mask interceptor; only the
+        cross-resolution upsamples need runtime sizes (a static-shape
+        bilinear resize computes sampling positions for the PADDED size,
+        which differ from the true-size positions near the boundary)."""
         nb = len(self.channels)
+
+        def fv(t):
+            return feature_valid(t.shape[1], t.shape[2], valid_hw, pad_hw)
+
         outs = []
         for i in range(nb):
             x = xs[i]
@@ -79,7 +90,9 @@ class HighResolutionModule(nn.Module):
                     t = _ConvBN(self.channels[i], kernel=1, relu=False,
                                 dtype=self.dtype,
                                 name=f"fuse{i}_{j}")(outs[j], train)
-                    t = resize_bilinear(t, (h, w))
+                    t = resize_bilinear(t, (h, w)) if valid_hw is None \
+                        else resize_bilinear_rt(t, (h, w), fv(t),
+                                                fv(outs[i]))
                 else:
                     # (i-j) stride-2 3x3 convs; ReLU on all but the last
                     t = outs[j]
@@ -117,7 +130,7 @@ class HRNetStages(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid_hw=None, pad_hw=None):
         dt = self.dtype
         xs = [x]
         for stage in (2, 3, 4):
@@ -141,11 +154,19 @@ class HRNetStages(nn.Module):
             xs = new_xs
             for m in range(cfg["num_modules"]):
                 xs = HighResolutionModule(chans, dtype=dt,
-                                          name=f"stage{stage}_m{m}")(xs, train)
+                                          name=f"stage{stage}_m{m}")(
+                    xs, train, valid_hw=valid_hw, pad_hw=pad_hw)
 
         h, w = xs[0].shape[1:3]
-        return jnp.concatenate(
-            [xs[0]] + [resize_bilinear(b, (h, w)) for b in xs[1:]], axis=-1)
+        if valid_hw is None:
+            ups = [resize_bilinear(b, (h, w)) for b in xs[1:]]
+        else:
+            fv0 = feature_valid(h, w, valid_hw, pad_hw)
+            ups = [resize_bilinear_rt(
+                b, (h, w),
+                feature_valid(b.shape[1], b.shape[2], valid_hw, pad_hw),
+                fv0) for b in xs[1:]]
+        return jnp.concatenate([xs[0]] + ups, axis=-1)
 
 
 class HRNetV2(nn.Module):
@@ -154,7 +175,10 @@ class HRNetV2(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False, return_feature_maps: bool = True):
+    def __call__(self, x, train: bool = False, return_feature_maps: bool = True,
+                 valid_hw=None, pad_hw=None):
+        pad_hw = pad_hw or x.shape[1:3]
         x = HRNetStem(dtype=self.dtype, name="stem")(x, train)
-        out = HRNetStages(dtype=self.dtype, name="stages")(x, train)
+        out = HRNetStages(dtype=self.dtype, name="stages")(
+            x, train, valid_hw=valid_hw, pad_hw=pad_hw)
         return [out]

@@ -39,8 +39,19 @@ class SegmentationModule(nn.Module):
             return self.decoder(conv_out, train=train)
         from ..ops.masked import feature_valid, mask_interceptor
         pad_hw = img.shape[1:3]
+        from .hrnet import HRNetV2
+        enc_kwargs = {}
+        if isinstance(self.encoder, HRNetV2):
+            # hrnet's cross-resolution fusion upsamples need runtime sizes
+            enc_kwargs = dict(valid_hw=valid_hw, pad_hw=pad_hw)
         with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
-            conv_out = self.encoder(img, train=train)
+            conv_out = self.encoder(img, train=train, **enc_kwargs)
+        from .decoders import UPerNet
+        if isinstance(self.decoder, UPerNet):
+            # FPN levels sit at different strides: the decoder derives each
+            # level's valid size from the input-level pair itself
+            return self.decoder(conv_out, train=train, valid_hw=valid_hw,
+                                pad_hw=pad_hw)
         c5 = conv_out[-1]
         fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, pad_hw)
         return self.decoder(conv_out, train=train, valid_hw=fv)

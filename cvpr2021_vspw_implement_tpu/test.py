@@ -50,10 +50,13 @@ def build_eval_parser():
     return parser
 
 
-#: decoder/encoder families with masked width-bucketed eval support
-#: (hrnet's cross-resolution fusion resizes are not yet runtime-masked)
-BUCKETED_DECODERS = {"c1", "c1_deepsup", "ppm", "ppm_deepsup"}
-UNBUCKETED_ENCODERS = ("hrnet",)
+#: decoder families with masked width-bucketed eval support; every encoder
+#: qualifies (hrnet's cross-resolution fusion upsamples are runtime-masked
+#: via resize_bilinear_rt, hrnet.py; hrnetv2_clip eval goes through
+#: test_clip's streaming path instead)
+BUCKETED_DECODERS = {"c1", "c1_deepsup", "ppm", "ppm_deepsup",
+                     "upernet", "upernet_lite"}
+UNBUCKETED_ENCODERS = ("hrnetv2_clip",)
 
 
 def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,

@@ -140,3 +140,74 @@ def test_mask_valid_traced_sizes():
 
     out = f(jnp.int32(3), jnp.int32(5))
     assert float(jnp.sum(out)) == 3 * 5 * 2
+
+
+def test_bucketed_upernet_exact():
+    """Masked padded UPerNet forward == unpadded forward on the valid
+    region.  Unlike the OS-8 heads, the FPN levels sit at different
+    strides (OS 4/8/16/32), so this exercises the per-level valid-size
+    derivation and every masked resize direction (down for laterals, up
+    for the final fusion)."""
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.decoders import UPerNet
+    from cvpr2021_vspw_implement_tpu.models.segmentation import (
+        SegmentationModule)
+
+    enc = ModelBuilder.build_encoder("resnet18")  # full stride pyramid
+    dec = UPerNet(num_class=7, fc_dim=512, fpn_inplanes=(64, 128, 256, 512),
+                  fpn_dim=64)
+    model = SegmentationModule(encoder=enc, decoder=dec)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+
+    rng = np.random.default_rng(11)
+    for h, w in ((64, 96), (64, 70), (48, 90)):
+        img = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(
+            np.float32))
+        want = model.apply(variables, img, train=False)[0]
+        pad_hw = (bucket_size(h, 32), bucket_size(w, 32))
+        gotp = model.apply(variables, pad_to(img, pad_hw),
+                           train=False, valid_hw=(h, w))[0]
+        hv, wv = feature_valid(gotp.shape[1], gotp.shape[2], (h, w), pad_hw)
+        hv, wv = int(hv), int(wv)
+        assert (hv, wv) == tuple(want.shape[1:3]), ((h, w), (hv, wv))
+        np.testing.assert_allclose(np.asarray(gotp[:, :hv, :wv]),
+                                   np.asarray(want), atol=2e-4, rtol=1e-4)
+        # predictions (what eval consumes) must agree exactly
+        assert np.array_equal(np.argmax(np.asarray(gotp[:, :hv, :wv]), -1),
+                              np.argmax(np.asarray(want), -1))
+
+
+def test_bucketed_hrnet_exact():
+    """Masked padded HRNetV2+C1 forward == unpadded forward on the valid
+    region: exercises the runtime-masked cross-resolution fusion upsamples
+    at every stage (4 branch resolutions) plus the final 4-way concat."""
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.segmentation import (
+        SegmentationModule)
+
+    enc = ModelBuilder.build_encoder("hrnetv2")
+    dec = ModelBuilder.build_decoder("c1", num_class=7, fc_dim=720)
+    model = SegmentationModule(encoder=enc, decoder=dec)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+
+    rng = np.random.default_rng(13)
+    for h, w in ((64, 70), (48, 90)):
+        img = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(
+            np.float32))
+        want = model.apply(variables, img, train=False)[0]
+        pad_hw = (bucket_size(h, 32), bucket_size(w, 32))
+        gotp = model.apply(variables, pad_to(img, pad_hw),
+                           train=False, valid_hw=(h, w))[0]
+        hv, wv = feature_valid(gotp.shape[1], gotp.shape[2], (h, w), pad_hw)
+        hv, wv = int(hv), int(wv)
+        assert (hv, wv) == tuple(want.shape[1:3]), ((h, w), (hv, wv))
+        # hrnet chains ~dozens of fusion resizes, so the rt path's f32
+        # integer-math weights accumulate ~1e-3 relative drift vs the
+        # static path (measured 3.2e-3 worst case here); predictions —
+        # what eval consumes — agree exactly
+        np.testing.assert_allclose(np.asarray(gotp[:, :hv, :wv]),
+                                   np.asarray(want), atol=1e-3, rtol=1e-2)
+        assert np.array_equal(np.argmax(np.asarray(gotp[:, :hv, :wv]), -1),
+                              np.argmax(np.asarray(want), -1))
