@@ -74,11 +74,27 @@ class ClipOCRNet(nn.Module):
     def _feat(self, c5, train):
         return nn.relu(self.conv_3x3_bn(self.conv_3x3_conv(c5), train))
 
-    def encode_frame(self, img, train: bool = False):
+    def encode_frame(self, img, train: bool = False, valid_hw=None):
         """One frame → (OCR feature map [B,h,w,512], region context [B,K,512]).
 
         Streaming-eval building block: contexts are a few KB and cached
-        across sliding windows."""
+        across sliding windows.
+
+        ``valid_hw``: runtime (rows, cols) of the TRUE frame inside a
+        width-bucketed zero-padded ``img`` — the trunk + heads run under
+        the conv-boundary mask interceptor and the gather softmax excludes
+        padded pixels (ops/masked.py), so the context equals the unpadded
+        run's and the feature map is zero beyond its valid size."""
+        if valid_hw is not None:
+            from ..ops.masked import feature_valid, mask_interceptor
+            pad_hw = img.shape[1:3]
+            with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+                conv_out = self.encoder(img, train=train)
+                x_dsn = self._dsn(conv_out[-2], train)
+                feat = self._feat(conv_out[-1], train)
+            fv = feature_valid(feat.shape[1], feat.shape[2], valid_hw,
+                               pad_hw)
+            return feat, spatial_gather(feat, x_dsn, valid=fv)
         conv_out = self.encoder(img, train=train)
         x_dsn = self._dsn(conv_out[-2], train)
         feat = self._feat(conv_out[-1], train)

@@ -32,12 +32,23 @@ from .layers import BatchNorm2d, Conv, ConvBNReLU, Dropout2d
 
 
 def spatial_gather(feats: jnp.ndarray, probs: jnp.ndarray,
-                   scale: float = 1.0) -> jnp.ndarray:
-    """feats [N,H,W,C], probs(logits) [N,H,W,K] → region features [N,K,C]."""
+                   scale: float = 1.0, valid=None) -> jnp.ndarray:
+    """feats [N,H,W,C], probs(logits) [N,H,W,K] → region features [N,K,C].
+
+    ``valid``: runtime (rows, cols) of the TRUE feature map inside a
+    width-bucketed zero-padded grid (ops/masked.py) — padded pixels are
+    excluded from the softmax (-inf logits), so the gather over the valid
+    region equals the unpadded run's."""
     n, h, w, c = feats.shape
     k = probs.shape[-1]
-    p = probs.reshape(n, h * w, k).astype(jnp.float32)
-    p = jax.nn.softmax(scale * p, axis=1)              # over pixels, per class
+    p = probs.astype(jnp.float32)
+    if valid is not None:
+        hv, wv = valid
+        mh = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) < hv
+        mw = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) < wv
+        p = jnp.where((mh & mw)[None, :, :, None], p, -jnp.inf)
+    p = jax.nn.softmax(scale * p.reshape(n, h * w, k),
+                       axis=1)                         # over pixels, per class
     f = feats.reshape(n, h * w, c)
     return jnp.einsum("npk,npc->nkc", p, f.astype(jnp.float32)).astype(feats.dtype)
 

@@ -273,10 +273,88 @@ class NetWarpStreamer:
                 del cache[k]
 
 
+class ClipOCRBucketEngine:
+    """Width-bucketed compiled kernels for ClipOCR streaming eval, shared
+    across ALL videos of an eval run (the TCB-OCR analog of
+    ``ClipPSPBucketEngine``): masked encode under the conv-boundary
+    interceptor + padded-pixel-excluded gather (models/clip_ocr.py), fuse
+    on the padded grid (the OCR attention/fuse chain past the gather is
+    per-pixel, so padded-pixel garbage never reaches the valid region) +
+    runtime-size prediction resize."""
+
+    def __init__(self, model, variables, bucket: int = 64):
+        assert bucket % 32 == 0, "bucket must cover the encoder stride (32)"
+        self.model = model
+        self.variables = variables
+        self.bucket = bucket
+        self._encode = {}
+        self._fuse = {}
+
+    @property
+    def encode_shapes(self):
+        return sorted(self._encode)
+
+    def pad_hw(self, h: int, w: int) -> tuple[int, int]:
+        return bucket_size(h, self.bucket), bucket_size(w, self.bucket)
+
+    def encode(self, frame):
+        """frame: [H, W, 3] normalized → (OCR feats on the bucket grid —
+        zero beyond the valid size — and the TRUE frame's region context)."""
+        h, w = frame.shape[:2]
+        key = self.pad_hw(h, w)
+        fn = self._encode.get(key)
+        if fn is None:
+            model, variables = self.model, self.variables
+
+            @jax.jit
+            def fn(imgp, hv, wv):
+                return model.apply(variables, imgp, train=False,
+                                   valid_hw=(hv, wv),
+                                   method=model.encode_frame)
+
+            self._encode[key] = fn
+        imgp = pad_to(jnp.asarray(frame)[None], key)
+        return fn(imgp, jnp.int32(h), jnp.int32(w))
+
+    def fuse(self, feat_t, context, true_hw):
+        """OCR-attend + classify + argmax at the TRUE resolution."""
+        h, w = true_hw
+        key = self.pad_hw(h, w)
+        fn = self._fuse.get(key)
+        if fn is None:
+            model, variables = self.model, self.variables
+
+            @jax.jit
+            def fn(feat_t, context, hv, wv):
+                fh, fw = feat_t.shape[1:3]
+                fv = feature_valid(fh, fw, (hv, wv), key)
+                logits = model.apply(variables, feat_t, context,
+                                     train=False,
+                                     method=model.fuse_target)
+                return inference_pred_rt((logits,), key, fv, (hv, wv))
+
+            self._fuse[key] = fn
+        pred = fn(feat_t, context, jnp.int32(h), jnp.int32(w))
+        return np.asarray(pred)[0, :h, :w]
+
+
 class ClipOCRStreamer(_WindowStreamer):
     """TCB-OCR (no memory): cached stats = [B, K, 512] region contexts."""
 
     def _build(self, model, variables):
+        if self.engine is not None:
+            # width-bucketed masked kernels shared across videos — one
+            # compile per bucket instead of per distinct width
+            eng = self.engine
+
+            def encode(img):
+                return eng.encode(np.asarray(img)[0])
+
+            def fuse(feat_t, context):
+                return eng.fuse(feat_t, context, self.seg_size)[None]
+
+            return encode, fuse
+
         @jax.jit
         def encode(img):
             return model.apply(variables, img, train=False,

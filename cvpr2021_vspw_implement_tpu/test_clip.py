@@ -259,12 +259,17 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
         dilation2 = [int(d) for d in dil.split(",")] \
             if isinstance(dil, str) else list(dil)
         # width-bucketed masked kernels shared across videos: one compile
-        # per bucket instead of per distinct video shape (clip_psp only)
+        # per bucket instead of per distinct video shape
         engine = None
-        if getattr(args, "width_bucket", 0) and args.method == "clip_psp":
-            from .serving import ClipPSPBucketEngine
-            engine = ClipPSPBucketEngine(model, variables,
-                                         bucket=args.width_bucket)
+        if getattr(args, "width_bucket", 0):
+            if args.method == "clip_psp":
+                from .serving import ClipPSPBucketEngine
+                engine = ClipPSPBucketEngine(model, variables,
+                                             bucket=args.width_bucket)
+            elif args.method == "clip_ocr":
+                from .serving import ClipOCRBucketEngine
+                engine = ClipOCRBucketEngine(model, variables,
+                                             bucket=args.width_bucket)
         for video in videos:
             ds = TestFrameDataset(args.dataroot, video, args)
             eval_video = Evaluator(args.num_class)

@@ -211,3 +211,44 @@ def test_bucketed_hrnet_exact():
                                    np.asarray(want), atol=1e-3, rtol=1e-2)
         assert np.array_equal(np.argmax(np.asarray(gotp[:, :hv, :wv]), -1),
                               np.argmax(np.asarray(want), -1))
+
+
+def test_bucketed_clip_ocr_streaming_exact_and_compile_count():
+    """Bucketed TCB-OCR streaming eval == exact per-width streaming eval
+    on synthetic multi-width videos, one compiled encode/fuse pair per
+    bucket: exercises the padded-pixel-excluded gather softmax
+    (models/ocr.py::spatial_gather valid=) and the per-pixel OCR fuse on
+    the padded grid."""
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.clip_ocr import ClipOCRNet
+    from cvpr2021_vspw_implement_tpu.serving import (ClipOCRBucketEngine,
+                                                     ClipOCRStreamer)
+
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    model = ClipOCRNet(encoder=enc, num_class=7)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           jnp.zeros((4, 1, 32, 32, 3), jnp.float32),
+                           train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    rng = np.random.default_rng(17)
+    # three videos, three widths, TWO buckets (64->64, 72->96, 90->96)
+    videos = [[rng.standard_normal((48, w, 3)).astype(np.float32)
+               for _ in range(5)] for w in (64, 72, 90)]
+    dilation2 = [1, 2]
+
+    engine = ClipOCRBucketEngine(model, variables, bucket=32)
+    for frames in videos:
+        hw = frames[0].shape[:2]
+        exact = dict(ClipOCRStreamer(model, variables, dilation2,
+                                     len(frames), hw).run(iter(frames)))
+        bucketed = dict(ClipOCRStreamer(model, variables, dilation2,
+                                        len(frames), hw,
+                                        engine=engine).run(iter(frames)))
+        assert exact.keys() == bucketed.keys()
+        for i in exact:
+            mismatch = np.mean(exact[i] != bucketed[i])
+            assert mismatch == 0.0, (hw, i, mismatch)
+    assert engine.encode_shapes == [(64, 64), (64, 96)]  # 2 buckets, 3 widths
