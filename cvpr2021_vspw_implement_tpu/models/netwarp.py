@@ -70,7 +70,13 @@ class SpatialOCRAsDec(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, conv_out, train: bool = False):
+    def __call__(self, conv_out, train: bool = False, feat_valid=None):
+        """``feat_valid``: runtime valid (rows, cols) of the (masked) OS-8
+        inputs for width-bucketed eval — the 3x3 heads are exact on the
+        valid region given zero-masked inputs, the gather softmax excludes
+        padded pixels, and the attention/fuse chain past it is per-pixel;
+        the returned feature map is re-masked so downstream flow warps
+        read zeros beyond the valid extent (== torch OOB zeros)."""
         d = ConvBNReLU(512, use_bias=True, dtype=self.dtype,
                        bn_bias_init=_bn_bias_init,
                        name="dsn_head_cbr")(conv_out[-2], train)
@@ -81,9 +87,12 @@ class SpatialOCRAsDec(nn.Module):
         x = BatchNorm2d(512, dtype=self.dtype, bias_init=_bn_bias_init,
                         name="conv_3x3_bn")(x, train)
         x = nn.relu(x)
-        context = spatial_gather(x, x_dsn)
+        context = spatial_gather(x, x_dsn, valid=feat_valid)
         x = SpatialOCR(512, 256, 512, dropout=0.05, dtype=self.dtype,
                        name="spatial_ocr_head")(x, context, train)
+        if feat_valid is not None:
+            from ..ops.masked import mask_valid
+            x = mask_valid(x, feat_valid)
         return x, x_dsn
 
 
@@ -117,7 +126,9 @@ class NetWarp(nn.Module):
         self.w1_0 = self.param("w1_0", nn.initializers.ones, (blend_dim,))
         self.w1_1 = self.param("w1_1", nn.initializers.zeros, (blend_dim,))
 
-    def _flow(self, target, prev, train):
+    def _flow(self, target, prev, train, valid_hw=None):
+        if valid_hw is not None:
+            return self._flow_masked(target, prev, train, valid_hw)
         c_img_f = denormalize_255(target)
         c_pre_f = denormalize_255(prev)
         pad_t, pads = pad_to_multiple_of_8(c_img_f)
@@ -126,13 +137,48 @@ class NetWarp(nn.Module):
         flow = jax.lax.stop_gradient(unpad(flow, pads))
         return self.flowcnn(c_img_f, c_pre_f, flow, train)
 
-    def _decode_feats(self, conv_out, train):
+    def _flow_masked(self, target, prev, train, valid_hw):
+        """Width-bucketed flow: emulate the reference's symmetric /8
+        InputPadder INSIDE the static bucket grid.  The true image is
+        rolled to the reference's (top, left) pad offset — stride-2 convs
+        are not shift-covariant, so exactness requires computing at the
+        reference's exact padded geometry — RAFT runs masked to the
+        /8-aligned (H8, W8) extent, and the flow is rolled back before the
+        FlowCNN refiner (reference: netwarp.py:169-195)."""
+        from flax import linen as nn
+        from ..ops.masked import mask_interceptor, mask_valid
+        hv, wv = valid_hw
+        hv = jnp.asarray(hv, jnp.int32)
+        wv = jnp.asarray(wv, jnp.int32)
+        pad_hw = target.shape[1:3]
+        c_img_f = mask_valid(denormalize_255(target), (hv, wv))
+        c_pre_f = mask_valid(denormalize_255(prev), (hv, wv))
+        # reference pad arithmetic (RAFT_core/utils/utils.py:11-14)
+        pad_h = (((hv // 8) + 1) * 8 - hv) % 8
+        pad_w = (((wv // 8) + 1) * 8 - wv) % 8
+        top, left = pad_h // 2, pad_w // 2
+        h8, w8 = hv + pad_h, wv + pad_w
+        roll = lambda x, sh, sw: jnp.roll(x, (sh, sw), axis=(1, 2))
+        _, flow = self.raft(roll(c_img_f, top, left),
+                            roll(c_pre_f, top, left),
+                            test_mode=True, valid_hw=(h8, w8))
+        flow = jax.lax.stop_gradient(
+            mask_valid(roll(flow, -top, -left), (hv, wv)))
+        with nn.intercept_methods(mask_interceptor((hv, wv), pad_hw)):
+            return self.flowcnn(c_img_f, c_pre_f, flow, train)
+
+    def _decode_feats(self, conv_out, train, feat_valid=None):
         """Decoder features that get flow-blended: ppm_out (plain) or the
-        OCR 512-d feats; plus the deep-supervision logits (train only)."""
+        OCR 512-d feats; plus the deep-supervision logits (train only).
+
+        ``feat_valid``: runtime OS-8 valid size for width-bucketed eval —
+        threaded into the decoders' masked paths."""
         if self.ocr:
-            feats, dsn = self.decoder(conv_out, train)
+            feats, dsn = self.decoder(conv_out, train,
+                                      feat_valid=feat_valid)
             return feats, dsn
-        deepsup, _emb, ppm_out = self.decoder(conv_out, train)
+        deepsup, _emb, ppm_out = self.decoder(conv_out, train,
+                                              valid_hw=feat_valid)
         return ppm_out, deepsup
 
     def _classify(self, new_feat, train):
@@ -142,10 +188,26 @@ class NetWarp(nn.Module):
         x = self.conv_last_drop(x, train)
         return self.conv_last_cls(x)
 
-    def encode_frame(self, img, train: bool = False):
+    def encode_frame(self, img, train: bool = False, valid_hw=None):
         """One frame → (c5, decoder feats[, c4 for OCR's dsn]) — the
         streaming-eval cache (prev frames' features are consumed unblended,
-        netwarp.py:196-217)."""
+        netwarp.py:196-217).
+
+        ``valid_hw``: runtime true size inside a width-bucketed zero-padded
+        ``img`` — trunk under the mask interceptor, decoder on its masked
+        path; all cached maps are zero beyond their valid extents."""
+        if valid_hw is not None:
+            from flax import linen as nn
+            from ..ops.masked import feature_valid, mask_interceptor
+            pad_hw = img.shape[1:3]
+            with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+                conv_out = self.encoder(img, train=train)
+            c5 = conv_out[-1]
+            fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, pad_hw)
+            feats, _ = self._decode_feats(conv_out, train, feat_valid=fv)
+            if self.ocr:
+                return c5, feats, conv_out[-2]
+            return c5, feats
         conv_out = self.encoder(img, train=train)
         feats, _ = self._decode_feats(conv_out, train)
         if self.ocr:
@@ -153,11 +215,40 @@ class NetWarp(nn.Module):
         return conv_out[-1], feats
 
     def fuse_pair(self, target_img, prev_img, c5_t, c5_p, feats_p,
-                  conv_out_t_rest=None, train: bool = False):
+                  conv_out_t_rest=None, train: bool = False,
+                  valid_hw=None):
         """Pair-specific work: flow, blends, target decode, classifier.
 
         conv_out_t_rest: the target's [c2, c3, c4] (needed by the OCR
-        decoder's dsn head; None for the plain decoder)."""
+        decoder's dsn head; None for the plain decoder).
+        ``valid_hw``: runtime true size for width-bucketed masked eval —
+        flow resizes/warps use runtime sizes (nearest-resize source math
+        and the reference's (dim-1) warp normalization both depend on the
+        TRUE sizes) and the classifier sees zero-masked inputs."""
+        if valid_hw is not None:
+            from ..ops.masked import (feature_valid, mask_valid,
+                                      resize_nearest_rt)
+            pad_hw = target_img.shape[1:3]
+            flow = self._flow(target_img, prev_img, train,
+                              valid_hw=valid_hw)
+            fhw1 = c5_t.shape[1:3]
+            fv1 = feature_valid(*fhw1, valid_hw, pad_hw)
+            flow_1 = resize_nearest_rt(flow, fhw1, valid_hw, fv1)
+            warp_1 = flowwarp(c5_p, flow_1.astype(c5_p.dtype),
+                              valid_hw=fv1)
+            new_c5_t = self.w0_0 * c5_t + self.w0_1 * warp_1
+            conv_out = (list(conv_out_t_rest or [new_c5_t] * 3)[:3]
+                        + [new_c5_t])
+            feats_t, deepsup = self._decode_feats(conv_out, train,
+                                                  feat_valid=fv1)
+            fhw2 = feats_t.shape[1:3]
+            fv2 = feature_valid(*fhw2, valid_hw, pad_hw)
+            flow_2 = resize_nearest_rt(flow, fhw2, valid_hw, fv2)
+            warp_2 = flowwarp(feats_p, flow_2.astype(feats_p.dtype),
+                              valid_hw=fv2)
+            new_feat = mask_valid(
+                self.w1_0 * feats_t + self.w1_1 * warp_2, fv2)
+            return self._classify(new_feat, train), deepsup
         flow = self._flow(target_img, prev_img, train)
         flow_1 = resize_nearest(flow, c5_t.shape[1:3])
         warp_1 = flowwarp(c5_p, flow_1.astype(c5_p.dtype))

@@ -22,13 +22,30 @@ from ..layers import BatchNorm2d, Conv, kaiming_normal_fan_out
 
 
 class InstanceNorm(nn.Module):
-    """torch nn.InstanceNorm2d(affine=False): normalize over H,W per N,C."""
+    """torch nn.InstanceNorm2d(affine=False): normalize over H,W per N,C.
+
+    Under an ``ops.masked.mask_context`` (width-bucketed eval) the spatial
+    statistics cover only the runtime-valid region — the per-image global
+    reduction is the one op in the flow encoders the conv-boundary mask
+    interceptor cannot fix, so it reads the context directly."""
 
     eps: float = 1e-5
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        from ...ops.masked import current_mask, feature_valid, mask_valid
         xf = x.astype(jnp.float32)
+        ctx = current_mask()
+        if ctx is not None:
+            valid_hw, pad_hw = ctx
+            fv = feature_valid(x.shape[1], x.shape[2], valid_hw, pad_hw)
+            xm = mask_valid(xf, fv)
+            area = jnp.asarray(fv[0] * fv[1], jnp.float32)
+            mean = jnp.sum(xm, axis=(1, 2), keepdims=True) / area
+            dev = mask_valid(xf - mean, fv)
+            var = jnp.sum(dev * dev, axis=(1, 2), keepdims=True) / area
+            return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(
+                x.dtype)
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         var = jnp.var(xf, axis=(1, 2), keepdims=True)
         return ((xf - mean) * jax.lax.rsqrt(var + self.eps)).astype(x.dtype)

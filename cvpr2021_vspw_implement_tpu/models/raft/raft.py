@@ -71,7 +71,28 @@ class RAFT(nn.Module):
 
     @nn.compact
     def __call__(self, image1, image2, flow_init=None, test_mode: bool = False,
-                 return_all: bool = False, train: bool = False):
+                 return_all: bool = False, train: bool = False,
+                 valid_hw=None):
+        """``valid_hw``: runtime (rows, cols) of the TRUE (/8-aligned)
+        image extent inside width-bucketed zero-padded inputs — the whole
+        network runs under the conv-boundary mask interceptor with masked
+        instance-norm statistics, masked GRU carries and masked pyramid
+        levels (ops/masked.py), making the valid-region flow equal to the
+        unpadded run's.  valid_hw must be a multiple of 8 (the caller
+        emulates the reference's /8 InputPadder inside the bucket grid)."""
+        if valid_hw is not None:
+            from ...ops.masked import mask_context, mask_interceptor
+            pad_hw = (image1.shape[1], image1.shape[2])
+            with nn.intercept_methods(
+                    mask_interceptor(valid_hw, pad_hw)), \
+                    mask_context(valid_hw, pad_hw):
+                return self._forward(image1, image2, flow_init, test_mode,
+                                     return_all, train, valid_hw)
+        return self._forward(image1, image2, flow_init, test_mode,
+                             return_all, train, None)
+
+    def _forward(self, image1, image2, flow_init, test_mode: bool,
+                 return_all: bool, train: bool, valid_hw):
         image1 = 2 * (image1 / 255.0) - 1.0
         image2 = 2 * (image2 / 255.0) - 1.0
 
@@ -86,6 +107,19 @@ class RAFT(nn.Module):
         fmap1, fmap2 = jnp.split(fmaps, 2, axis=0)
         pyramid = build_corr_pyramid(fmap1, fmap2, self.corr_levels,
                                      store_dtype=self.dtype)
+        if valid_hw is not None:
+            # each level's valid extent is floor(prev/2) (the unpadded
+            # pooling discards the odd tail); boundary-straddling windows
+            # of the padded pooling must read as zero — exactly what the
+            # unpadded run's out-of-range lookup taps see
+            from ...ops.masked import feature_valid, mask_valid_hw2
+            lv = feature_valid(fmap1.shape[1], fmap1.shape[2], valid_hw,
+                               (image1.shape[1], image1.shape[2]))
+            masked_pyr = [mask_valid_hw2(pyramid[0], lv)]
+            for lev in pyramid[1:]:
+                lv = (lv[0] // 2, lv[1] // 2)
+                masked_pyr.append(mask_valid_hw2(lev, lv))
+            pyramid = masked_pyr
 
         cnet = BasicEncoder(self.hidden_dim + self.context_dim, "batch",
                             dtype=self.dtype, name="cnet")(image1, train)

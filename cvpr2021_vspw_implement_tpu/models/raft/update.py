@@ -78,7 +78,18 @@ class SepConvGRU(nn.Module):
         hd = self.hidden_dim
         cin = h.shape[-1] + x.shape[-1]
 
-        use_pallas = (not self.is_initializing()
+        from ...ops.masked import current_mask, feature_valid, mask_valid
+        mask_ctx = current_mask()
+        fv = None
+        if mask_ctx is not None:
+            # width-bucketed masked eval: the gate convs are raw lax calls
+            # (no flax module boundary for the interceptor), so the carry
+            # is re-masked each pass — otherwise padded-position garbage
+            # from the (1-z)*h blend leaks into the valid region through
+            # the 5-tap windows on the next pass
+            fv = feature_valid(h.shape[1], h.shape[2], *mask_ctx)
+        use_pallas = (mask_ctx is None
+                      and not self.is_initializing()
                       and jax.default_backend() not in ("cpu",)
                       and os.environ.get("VSPW_TPU_PALLAS", "1") == "1")
         if use_pallas:
@@ -102,6 +113,8 @@ class SepConvGRU(nn.Module):
             if use_pallas:
                 h = sep_conv_gru_pass(h, xc, kzr, bzr, kq, bq, axis=axis)
                 continue
+            if fv is not None:
+                h = mask_valid(h, fv)
             hx = jnp.concatenate([h.astype(cdt), xc], axis=-1)
             zr = nn.sigmoid(_conv2d(hx, kzr, bzr, kh // 2, kw // 2))
             z, r = zr[..., :hd], zr[..., hd:]
@@ -109,7 +122,7 @@ class SepConvGRU(nn.Module):
                 jnp.concatenate([(r * h).astype(cdt), xc], axis=-1),
                 kq, bq, kh // 2, kw // 2))
             h = (1 - z) * h + z * q
-        return h
+        return h if fv is None else mask_valid(h, fv)
 
 
 class BasicMotionEncoder(nn.Module):
@@ -159,8 +172,13 @@ class BasicUpdateBlock(nn.Module):
     def __call__(self, net, inp, corr, flow, with_mask: bool = True):
         # the fused kernels hold the whole [H*W, C] tile in VMEM; beyond
         # ~4k positions (e.g. the TC metric's 60x107 full-480p run) fall
-        # back to the unfused path, whose GRU kernel tiles rows
-        use_fused = (not self.is_initializing()
+        # back to the unfused path, whose GRU kernel tiles rows.  Masked
+        # (width-bucketed) eval uses the flax formulations — the fused
+        # chains never re-mask between convs, so padded-position bias
+        # garbage would leak across the valid boundary
+        from ...ops.masked import current_mask
+        use_fused = (current_mask() is None
+                     and not self.is_initializing()
                      and jax.default_backend() not in ("cpu",)
                      and os.environ.get("VSPW_TPU_PALLAS", "1") == "1"
                      and net.shape[1] * net.shape[2] <= 4096)

@@ -32,6 +32,9 @@ Exactness argument (tests/test_masked_eval.py proves it end to end):
 
 from __future__ import annotations
 
+import contextlib
+import contextvars
+
 import jax
 import jax.numpy as jnp
 
@@ -175,6 +178,68 @@ def mask_interceptor(valid_hw, pad_hw):
         return _mask(next_fun(*args, **kwargs))
 
     return interceptor
+
+
+#: trace-time mask context for modules the interceptor cannot cover —
+#: ops with GLOBAL spatial statistics (InstanceNorm's per-image mean/var)
+#: or raw lax convolutions without a flax module boundary (SepConvGRU's
+#: fused gate convs).  Holds (valid_hw, pad_hw) at INPUT resolution; a
+#: consumer derives its own feature-level valid size via the ratio rule.
+_MASK_CTX: contextvars.ContextVar = contextvars.ContextVar(
+    "vspw_mask_ctx", default=None)
+
+
+@contextlib.contextmanager
+def mask_context(valid_hw, pad_hw):
+    token = _MASK_CTX.set((valid_hw, tuple(pad_hw)))
+    try:
+        yield
+    finally:
+        _MASK_CTX.reset(token)
+
+
+def current_mask():
+    """(valid_hw, pad_hw) of the enclosing ``mask_context``, or None."""
+    return _MASK_CTX.get()
+
+
+def _nearest_weights_rt(in_pad: int, out_pad: int, in_valid,
+                        out_valid) -> jnp.ndarray:
+    """[out_pad, in_pad] torch-legacy nearest matrix for RUNTIME sizes:
+    row i selects col min(floor(i * in_valid / out_valid), in_valid - 1);
+    rows >= out_valid are zero (matches ops/interpolate.resize_nearest)."""
+    rows = jnp.arange(out_pad, dtype=jnp.int32)[:, None]
+    cols = jnp.arange(in_pad, dtype=jnp.int32)[None, :]
+    inv = jnp.asarray(in_valid, jnp.int32)
+    outv = jnp.asarray(out_valid, jnp.int32)
+    src = jnp.minimum((rows * inv) // outv, inv - 1)
+    return jnp.where(rows < outv, (cols == src).astype(jnp.float32), 0.0)
+
+
+def resize_nearest_rt(x: jnp.ndarray, out_pad_hw, in_valid_hw,
+                      out_valid_hw) -> jnp.ndarray:
+    """Nearest resize of masked [N,H,W,C] to static ``out_pad_hw`` whose
+    valid region equals resize_nearest(x_valid, out_valid_hw) exactly;
+    rows/cols beyond out_valid are zero."""
+    oh, ow = out_pad_hw
+    n, h, w, c = x.shape
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    wh = _nearest_weights_rt(h, oh, in_valid_hw[0], out_valid_hw[0])
+    xf = jnp.einsum("oh,nhwc->nowc", wh, xf)
+    ww = _nearest_weights_rt(w, ow, in_valid_hw[1], out_valid_hw[1])
+    xf = jnp.einsum("ow,nhwc->nhoc", ww, xf)
+    return xf.astype(dt)
+
+
+def mask_valid_hw2(x: jnp.ndarray, valid_hw) -> jnp.ndarray:
+    """Zero the LAST TWO dims of [..., H, W] at-or-beyond the (traced)
+    valid sizes — used for correlation-pyramid levels [B, P, Hl, Wl]."""
+    hv, wv = valid_hw
+    h, w = x.shape[-2], x.shape[-1]
+    mh = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) < hv
+    mw = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) < wv
+    return jnp.where(mh & mw, x, jnp.zeros((), x.dtype))
 
 
 def bucket_size(size: int, multiple: int = 64) -> int:

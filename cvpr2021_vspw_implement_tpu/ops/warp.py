@@ -22,8 +22,9 @@ import jax
 import jax.numpy as jnp
 
 
-def _unnormalize(coord: jnp.ndarray, size: int, align_corners: bool) -> jnp.ndarray:
-    """Map normalized [-1, 1] grid coords to pixel indices (torch semantics)."""
+def _unnormalize(coord: jnp.ndarray, size, align_corners: bool) -> jnp.ndarray:
+    """Map normalized [-1, 1] grid coords to pixel indices (torch semantics).
+    ``size`` may be a python int or a traced runtime scalar (masked eval)."""
     if align_corners:
         return (coord + 1.0) / 2.0 * (size - 1)
     return ((coord + 1.0) * size - 1.0) / 2.0
@@ -82,16 +83,23 @@ def _gather_onehot(x, ix, iy, wts):
 
 def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear",
                 align_corners: bool = False,
-                onehot: bool | None = None) -> jnp.ndarray:
+                onehot: bool | None = None, valid_hw=None) -> jnp.ndarray:
     """torch.nn.functional.grid_sample for NHWC inputs, zero padding.
 
     x:    [N, H, W, C]
     grid: [N, Ho, Wo, 2] normalized (gx, gy) in [-1, 1]
     ``onehot`` forces (True)/suppresses (False) the one-hot-matmul fast
     path; default auto-dispatches on TPU for small grids x wide channels.
+    ``valid_hw``: runtime (rows, cols) of x's TRUE extent inside a
+    width-bucketed zero-padded grid (ops/masked.py) — the unnormalize
+    sizes and the out-of-bounds checks use the runtime sizes, so sampling
+    the valid region equals the unpadded call exactly (taps between the
+    valid and padded extents read masked zeros == torch's OOB zeros).
     """
-    gx = _unnormalize(grid[..., 0].astype(jnp.float32), x.shape[2], align_corners)
-    gy = _unnormalize(grid[..., 1].astype(jnp.float32), x.shape[1], align_corners)
+    hs, ws = ((x.shape[1], x.shape[2]) if valid_hw is None
+              else (valid_hw[0], valid_hw[1]))
+    gx = _unnormalize(grid[..., 0].astype(jnp.float32), ws, align_corners)
+    gy = _unnormalize(grid[..., 1].astype(jnp.float32), hs, align_corners)
     if onehot is None:
         # the weight matrix is [N, Ho*Wo, H*W] f32, so the bound must cover
         # the batch dim too or large-batch warps OOM where gathers fit
@@ -99,7 +107,8 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear",
               * grid.shape[1] * grid.shape[2])
         onehot = (jax.default_backend() not in ("cpu",)
                   and pq <= _ONEHOT_MAX_PQ and x.shape[-1] >= _ONEHOT_MIN_C)
-    h, w = x.shape[1:3]
+    h, w = ((x.shape[1], x.shape[2]) if valid_hw is None
+            else (valid_hw[0], valid_hw[1]))
     if mode == "nearest":
         # torch uses std::nearbyint → round-half-to-even, same as jnp.round
         ix = jnp.round(gx).astype(jnp.int32)
@@ -143,11 +152,15 @@ def grid_sample(x: jnp.ndarray, grid: jnp.ndarray, mode: str = "bilinear",
     return top * (1 - ly) + bot * ly
 
 
-def flowwarp(x: jnp.ndarray, flow: jnp.ndarray, mode: str = "bilinear") -> jnp.ndarray:
+def flowwarp(x: jnp.ndarray, flow: jnp.ndarray, mode: str = "bilinear",
+             valid_hw=None) -> jnp.ndarray:
     """Warp image/features by optical flow (reference: utils.py:10-35).
 
     x:    [N, H, W, C] source (the frame being pulled back)
     flow: [N, H, W, 2] (fx, fy) in pixels
+    ``valid_hw``: runtime true sizes for width-bucketed masked eval — the
+    reference normalization uses the TRUE (dim-1), so the runtime sizes
+    feed both the grid build and the sampler (see grid_sample).
     """
     n, h, w, _ = x.shape
     xs = jax.lax.broadcasted_iota(jnp.float32, (n, h, w), 2)
@@ -155,7 +168,13 @@ def flowwarp(x: jnp.ndarray, flow: jnp.ndarray, mode: str = "bilinear") -> jnp.n
     vx = xs + flow[..., 0].astype(jnp.float32)
     vy = ys + flow[..., 1].astype(jnp.float32)
     # reference normalizes by (dim-1) then samples align_corners=False
-    gx = 2.0 * vx / max(w - 1, 1) - 1.0
-    gy = 2.0 * vy / max(h - 1, 1) - 1.0
+    if valid_hw is None:
+        hs, ws = max(h - 1, 1), max(w - 1, 1)
+    else:
+        hs = jnp.maximum(valid_hw[0] - 1, 1).astype(jnp.float32)
+        ws = jnp.maximum(valid_hw[1] - 1, 1).astype(jnp.float32)
+    gx = 2.0 * vx / ws - 1.0
+    gy = 2.0 * vy / hs - 1.0
     grid = jnp.stack([gx, gy], axis=-1)
-    return grid_sample(x, grid, mode=mode, align_corners=False)
+    return grid_sample(x, grid, mode=mode, align_corners=False,
+                       valid_hw=valid_hw)

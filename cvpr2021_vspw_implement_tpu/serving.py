@@ -199,6 +199,79 @@ class ClipPSPStreamer(_WindowStreamer):
         return out
 
 
+class NetWarpBucketEngine:
+    """Width-bucketed compiled kernels for NetWarp / NetWarp-OCR streaming
+    eval, shared across ALL videos of an eval run: masked trunk+decoder
+    encode, and a fuse that runs the frozen RAFT at the reference's exact
+    symmetric-/8-pad geometry INSIDE the bucket grid (masked instance
+    norm, masked corr pyramid, masked GRU carries — models/raft/), with
+    runtime-size nearest flow resizes and (dim-1)-normalized warps."""
+
+    def __init__(self, model, variables, bucket: int = 64):
+        assert bucket % 32 == 0, "bucket must cover the encoder stride (32)"
+        self.model = model
+        self.variables = variables
+        self.bucket = bucket
+        self.ocr = bool(model.ocr)
+        self._encode = {}
+        self._fuse = {}
+
+    @property
+    def encode_shapes(self):
+        return sorted(self._encode)
+
+    def pad_hw(self, h: int, w: int) -> tuple[int, int]:
+        return bucket_size(h, self.bucket), bucket_size(w, self.bucket)
+
+    def encode(self, frame):
+        h, w = frame.shape[:2]
+        key = self.pad_hw(h, w)
+        fn = self._encode.get(key)
+        if fn is None:
+            model, variables = self.model, self.variables
+
+            @jax.jit
+            def fn(imgp, hv, wv):
+                return model.apply(variables, imgp, train=False,
+                                   valid_hw=(hv, wv),
+                                   method=model.encode_frame)
+
+            self._encode[key] = fn
+        imgp = pad_to(jnp.asarray(frame)[None], key)
+        return fn(imgp, jnp.int32(h), jnp.int32(w))
+
+    def fuse(self, target_frame, prev_frame, c5_t, c5_p, feats_p,
+             c4_t=None):
+        h, w = target_frame.shape[:2]
+        key = self.pad_hw(h, w)
+        fn = self._fuse.get(key)
+        if fn is None:
+            model, variables = self.model, self.variables
+            ocr = self.ocr
+
+            @jax.jit
+            def fn(timg, pimg, c5_t, c5_p, feats_p, c4_t, hv, wv):
+                kw = {}
+                if ocr:
+                    kw["conv_out_t_rest"] = (c4_t, c4_t, c4_t)
+                pred, _ = model.apply(variables, timg, pimg, c5_t, c5_p,
+                                      feats_p, train=False,
+                                      valid_hw=(hv, wv),
+                                      method=model.fuse_pair, **kw)
+                fh, fw = pred.shape[1:3]
+                fv = feature_valid(fh, fw, (hv, wv), key)
+                return inference_pred_rt((pred,), key, fv, (hv, wv))
+
+            self._fuse[key] = fn
+        timg = pad_to(jnp.asarray(target_frame)[None], key)
+        pimg = pad_to(jnp.asarray(prev_frame)[None], key)
+        if c4_t is None:
+            c4_t = jnp.zeros((1, 1, 1, 1), jnp.float32)
+        pred = fn(timg, pimg, c5_t, c5_p, feats_p, c4_t,
+                  jnp.int32(h), jnp.int32(w))
+        return np.asarray(pred)[0, :h, :w]
+
+
 class NetWarpStreamer:
     """NetWarp / NetWarp-OCR eval with per-frame feature caching
     (dilation_num == 0, clip_num == 2 — the reference's only NetWarp
@@ -207,10 +280,23 @@ class NetWarpStreamer:
     per pair only RAFT + FlowCNN + blends + the target-side decode run —
     predictions identical to the window path, ~1.8x less compute."""
 
-    def __init__(self, model, variables, num_frames: int, seg_size):
+    def __init__(self, model, variables, num_frames: int, seg_size,
+                 engine=None):
         self.n = num_frames
         self.seg_size = tuple(seg_size)
         self.ocr = bool(model.ocr)
+        self.engine = engine
+
+        if engine is not None:
+            # width-bucketed masked kernels shared across videos
+            self._encode = lambda img: engine.encode(np.asarray(img)[0])
+            self._fuse = lambda timg, pimg, c5_t, c5_p, feats_p: (
+                engine.fuse(np.asarray(timg)[0], np.asarray(pimg)[0],
+                            c5_t, c5_p, feats_p)[None])
+            self._fuse_ocr = lambda timg, pimg, c5_t, c5_p, feats_p, c4: (
+                engine.fuse(np.asarray(timg)[0], np.asarray(pimg)[0],
+                            c5_t, c5_p, feats_p, c4)[None])
+            return
 
         @jax.jit
         def encode(img):

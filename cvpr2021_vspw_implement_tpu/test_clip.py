@@ -226,14 +226,18 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
         elif (args.method in ("netwarp", "netwarp_ocr")
               and args.dilation_num == 0):
             from .data import TestFrameDataset
-            from .serving import NetWarpStreamer
+            from .serving import NetWarpBucketEngine, NetWarpStreamer
+            nw_engine = None
+            if getattr(args, "width_bucket", 0):
+                nw_engine = NetWarpBucketEngine(model, variables,
+                                                bucket=args.width_bucket)
             for video in videos:
                 ds = TestFrameDataset(args.dataroot, video, args)
                 eval_video = Evaluator(args.num_class)
                 items = [ds[i] for i in range(len(ds))]
                 h0, w0 = items[0][0].shape[:2]
                 streamer = NetWarpStreamer(model, variables, len(ds),
-                                           (h0, w0))
+                                           (h0, w0), engine=nw_engine)
                 gt_list = [it[1] for it in items]
                 pred_list = [None] * len(ds)
                 for i, pred in streamer.run([it[0] for it in items]):

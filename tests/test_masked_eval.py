@@ -252,3 +252,71 @@ def test_bucketed_clip_ocr_streaming_exact_and_compile_count():
             mismatch = np.mean(exact[i] != bucketed[i])
             assert mismatch == 0.0, (hw, i, mismatch)
     assert engine.encode_shapes == [(64, 64), (64, 96)]  # 2 buckets, 3 widths
+
+
+def test_masked_raft_matches_unpadded():
+    """Masked (width-bucketed) RAFT == unpadded RAFT on the valid region:
+    masked instance-norm statistics, masked corr-pyramid levels and masked
+    GRU carries (models/raft/).  Tolerance is relative — the instance
+    norm's different-shape reduction introduces ~1e-5 feature noise that
+    the (untrained, random-weight) iterative refinement amplifies; trained
+    refinement is contractive."""
+    from cvpr2021_vspw_implement_tpu.models.raft import RAFT
+
+    rng = np.random.default_rng(3)
+    h, w = 24, 40                               # /8-aligned true size
+    img1 = jnp.asarray((rng.random((1, h, w, 3)) * 255).astype(np.float32))
+    img2 = jnp.asarray((rng.random((1, h, w, 3)) * 255).astype(np.float32))
+    model = RAFT(iters=4)
+    variables = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 16, 16, 3)),
+                           jnp.zeros((1, 16, 16, 3)), test_mode=True)
+    lo, up = model.apply(variables, img1, img2, test_mode=True)
+    p1, p2 = pad_to(img1, (32, 64)), pad_to(img2, (32, 64))
+    lo_m, up_m = model.apply(variables, p1, p2, test_mode=True,
+                             valid_hw=(jnp.int32(h), jnp.int32(w)))
+    rel_lo = (float(jnp.abs(lo_m[:, :h // 8, :w // 8] - lo).max())
+              / float(jnp.abs(lo).max()))
+    rel_up = (float(jnp.abs(up_m[:, :h, :w] - up).max())
+              / float(jnp.abs(up).max()))
+    assert rel_lo < 2e-3, rel_lo
+    assert rel_up < 2e-3, rel_up
+
+
+def test_bucketed_netwarp_streaming_exact_and_compile_count():
+    """Bucketed NetWarp streaming eval == exact per-width streaming eval
+    on synthetic multi-width videos, one compiled encode/fuse pair per
+    bucket: the fuse runs the frozen RAFT at the reference's symmetric-/8
+    pad geometry inside the bucket grid, runtime nearest flow resizes and
+    (dim-1)-normalized masked warps."""
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.netwarp import NetWarp
+    from cvpr2021_vspw_implement_tpu.serving import (NetWarpBucketEngine,
+                                                     NetWarpStreamer)
+
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    model = NetWarp(encoder=enc, num_class=7, fc_dim=512, raft_iters=2)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           jnp.zeros((2, 1, 32, 32, 3), jnp.float32),
+                           train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    rng = np.random.default_rng(23)
+    # two videos, two widths, ONE bucket (66->96, 90->96); the odd width
+    # exercises the rolled symmetric-/8 RAFT geometry (pad_w=6, left=3)
+    videos = [[rng.standard_normal((48, w, 3)).astype(np.float32)
+               for _ in range(3)] for w in (66, 90)]
+
+    engine = NetWarpBucketEngine(model, variables, bucket=32)
+    for frames in videos:
+        hw = frames[0].shape[:2]
+        exact = dict(NetWarpStreamer(model, variables, len(frames),
+                                     hw).run(frames))
+        bucketed = dict(NetWarpStreamer(model, variables, len(frames), hw,
+                                        engine=engine).run(frames))
+        assert exact.keys() == bucketed.keys()
+        for i in exact:
+            mismatch = np.mean(exact[i] != bucketed[i])
+            assert mismatch < 2e-3, (hw, i, mismatch)
+    assert engine.encode_shapes == [(64, 96)]   # 1 bucket, 2 widths
