@@ -39,6 +39,12 @@ def build_parser():
                    help="raft-things checkpoint (.pth or .msgpack)")
     p.add_argument("--raft_iters", type=int, default=20)
     p.add_argument("--allow_random_raft", action="store_true")
+    p.add_argument("--width_bucket", type=int, default=0,
+                   help="pad each frame pair to this multiple and run the "
+                        "masked RAFT at the reference /8 geometry inside "
+                        "the bucket grid — one XLA compile per bucket "
+                        "across ALL videos instead of one per distinct "
+                        "width (0 = exact per-shape jit)")
     return p
 
 
@@ -74,6 +80,46 @@ def compute_tc(args, logger=None) -> float:
                           mode="nearest")
         return warped[..., 0].astype(jnp.int32)
 
+    @jax.jit
+    def step_bucketed(img1p, img2p, next_predp, hv, wv):
+        # the reference's symmetric /8 InputPadder emulated inside the
+        # static bucket grid (same geometry as NetWarp's masked flow path,
+        # models/netwarp.py::_flow_masked): roll the true image to the
+        # (top, left) pad offset, run the masked RAFT to the /8-aligned
+        # valid extent, roll the flow back, nearest-warp with runtime
+        # (dim-1) normalization
+        from .ops.masked import mask_valid
+        pad_h = (((hv // 8) + 1) * 8 - hv) % 8
+        pad_w = (((wv // 8) + 1) * 8 - wv) % 8
+        top, left = pad_h // 2, pad_w // 2
+        h8, w8 = hv + pad_h, wv + pad_w
+        r1 = jnp.roll(img1p, (top, left), axis=(1, 2))
+        r2 = jnp.roll(img2p, (top, left), axis=(1, 2))
+        _, flow = model.apply(variables, r1, r2, test_mode=True,
+                              valid_hw=(h8, w8))
+        flow = mask_valid(jnp.roll(flow, (-top, -left), axis=(1, 2)),
+                          (hv, wv))
+        warped = flowwarp(next_predp[..., None].astype(jnp.float32), flow,
+                          mode="nearest", valid_hw=(hv, wv))
+        return warped[..., 0].astype(jnp.int32)
+
+    def run_pair(img1, img2, next_pred):
+        """Dispatch one adjacent pair; returns the warped next prediction
+        cropped to the true size."""
+        h, w = img1.shape[1:3]
+        if not args.width_bucket:
+            return np.asarray(step(jnp.asarray(img1), jnp.asarray(img2),
+                                   jnp.asarray(next_pred)))
+        from .ops.masked import bucket_size, pad_to
+        key = (bucket_size(h, args.width_bucket),
+               bucket_size(w, args.width_bucket))
+        out = step_bucketed(pad_to(jnp.asarray(img1), key),
+                            pad_to(jnp.asarray(img2), key),
+                            pad_to(jnp.asarray(next_pred[..., None]),
+                                   key)[..., 0],
+                            jnp.int32(h), jnp.int32(w))
+        return np.asarray(out)[:, :h, :w]
+
     with open(os.path.join(args.dataroot, args.split + ".txt")) as f:
         videos = [l.strip() for l in f if l.strip()]
     if args.max_videos:
@@ -95,8 +141,7 @@ def compute_tc(args, logger=None) -> float:
             next_pred = np.asarray(Image.open(
                 os.path.join(args.predroot, video, stem(nxt))),
                 np.int32)[None]
-            warped = np.asarray(step(jnp.asarray(img1), jnp.asarray(img2),
-                                     jnp.asarray(next_pred)))
+            warped = run_pair(img1, img2, next_pred)
             evaluator.add_batch(pred, warped)
         logger.info(f"TC: processed {video}")
     tc = evaluator.Mean_Intersection_over_Union()
