@@ -102,10 +102,16 @@ class Attention(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, k_src, v_src, q_tgt, fea_size=None, train: bool = False):
+    def __call__(self, k_src, v_src, q_tgt, fea_size=None, train: bool = False,
+                 src_valid=None):
+        """``src_valid``: [T] bool over source tokens for width-bucketed
+        masked eval — padded-grid tokens are excluded from the softmax, so
+        valid-query rows equal the unpadded attention exactly."""
         temp = float(self.d_k) ** 0.5
         attn = jnp.einsum("npc,nqc->npq", q_tgt.astype(jnp.float32),
                           k_src.astype(jnp.float32)) / temp
+        if src_valid is not None:
+            attn = jnp.where(src_valid[None, None, :], attn, -jnp.inf)
         attn = jax.nn.softmax(attn, axis=2)
         attn = nn.Dropout(0.1, deterministic=not train,
                           name="attn_drop")(attn)
@@ -129,18 +135,30 @@ class PyramidPoolingSliced(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, x, train: bool = False):
+    def __call__(self, x, train: bool = False, valid=None):
+        """``valid``: runtime valid (rows, cols) of a zero-masked padded
+        ``x`` — pooling covers the valid region, resizes use runtime
+        sizes, and the output stays zero on the padding (ops/masked.py)."""
         n, h, w, c = x.shape
         out_ch = self.in_channels // 4
         feats = []
         for i, scale in enumerate((1, 2, 3, 6)):
-            p = adaptive_avg_pool2d(x, scale)
+            if valid is None:
+                p = adaptive_avg_pool2d(x, scale)
+            else:
+                from ..ops.masked import adaptive_avg_pool2d_rt
+                p = adaptive_avg_pool2d_rt(x, scale, valid)
             p = Conv(out_ch, 1, use_bias=False, dtype=self.dtype,
                      name=f"conv{i + 1}_conv")(p)
             p = BatchNorm2d(out_ch, dtype=self.dtype,
                             name=f"conv{i + 1}_bn")(p, train)
             p = nn.relu(p)
-            feats.append(resize_bilinear(p, (h, w), align_corners=True))
+            if valid is None:
+                feats.append(resize_bilinear(p, (h, w), align_corners=True))
+            else:
+                from ..ops.masked import resize_bilinear_rt
+                feats.append(resize_bilinear_rt(p, (h, w), (scale, scale),
+                                                valid, align_corners=True))
         sl = c // self.path_num
         sl4 = c // (self.path_num * 4)
         parts = [x[..., self.pid * sl:(self.pid + 1) * sl]]
@@ -172,11 +190,29 @@ class SpatialLayerNorm(nn.Module):
     shape: tuple  # (h, w) at train time
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, valid=None):
         scale = self.param("scale", nn.initializers.ones, self.shape)
         bias = self.param("bias", nn.initializers.zeros, self.shape)
         h, w = x.shape[1:3]
         xf = x.astype(jnp.float32)
+        if valid is not None:
+            # width-bucketed masked eval: statistics over the valid region
+            # only, affine maps resized to the RUNTIME size on the padded
+            # grid (in_valid is the static train-crop shape)
+            from ..ops.masked import mask_valid, resize_bilinear_rt
+            hv, wv = valid
+            area = jnp.asarray(hv * wv, jnp.float32)
+            xm = mask_valid(xf, valid)
+            mean = jnp.sum(xm, axis=(1, 2), keepdims=True) / area
+            dev = mask_valid(xf - mean, valid)
+            var = jnp.sum(dev * dev, axis=(1, 2), keepdims=True) / area
+            xhat = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
+            scale = resize_bilinear_rt(scale[None, :, :, None], (h, w),
+                                       self.shape, valid)[0, :, :, 0]
+            bias = resize_bilinear_rt(bias[None, :, :, None], (h, w),
+                                      self.shape, valid)[0, :, :, 0]
+            return (xhat * scale[None, :, :, None]
+                    + bias[None, :, :, None]).astype(x.dtype)
         mean = jnp.mean(xf, axis=(1, 2), keepdims=True)
         var = jnp.var(xf, axis=(1, 2), keepdims=True)
         xhat = (xf - mean) * jax.lax.rsqrt(var + 1e-5)
@@ -219,7 +255,7 @@ class TD4PSP(nn.Module):
                      for _ in range(4)]
 
     def __call__(self, imgs, train: bool = False, pos_id: int = 0,
-                 state=None):
+                 state=None, valid_hw=None):
         if self.is_initializing():
             # touch every path so all four heads/attentions/LNs get params
             # (torch creates them eagerly in __init__)
@@ -228,7 +264,7 @@ class TD4PSP(nn.Module):
                 out = self.train_clip(imgs, p, train)
             return out
         if state is not None:
-            return self.stream(imgs, pos_id, state)
+            return self.stream(imgs, pos_id, state, valid_hw=valid_hw)
         return self.train_clip(imgs, pos_id, train)
 
     def train_clip(self, imgs, pos_id: int, train: bool):
@@ -265,25 +301,53 @@ class TD4PSP(nn.Module):
         aux = self.auxs[p](c3_target, train)
         return main, sub, aux
 
-    def stream(self, img, pos_id: int, state):
+    def stream(self, img, pos_id: int, state, valid_hw=None):
         """Streaming inference: img [B, H, W, 3], carry = K/V/Q queues.
 
-        Returns (logits, new_state)."""
+        Returns (logits, new_state).
+
+        ``valid_hw``: runtime true size inside a width-bucketed zero-padded
+        ``img`` — trunk under the mask interceptor, sliced PSP/LayerNorm on
+        their masked paths, attention softmax excluding padded-grid tokens
+        (the K/V/Q queues live on the padded token grid; invalid-token
+        entries are garbage that every reader masks out)."""
         p = pos_id
-        conv_out = self.paths[p](img, train=False)
-        z = self.psps[p](conv_out[-1], False)
+        fv = tok_valid = None
+        if valid_hw is not None:
+            from flax import linen as fnn
+            from ..ops.masked import (ceil_div, feature_valid,
+                                      mask_interceptor, mask_valid)
+            pad_hw = img.shape[1:3]
+            with fnn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+                conv_out = self.paths[p](img, train=False)
+            c5 = conv_out[-1]
+            fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, pad_hw)
+            z = self.psps[p](c5, False, valid=fv)
+            th, tw = -(-c5.shape[1] // 3), -(-c5.shape[2] // 3)
+            ti = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)
+            tj = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 1)
+            tok_valid = ((ti < ceil_div(fv[0], 3))
+                         & (tj < ceil_div(fv[1], 3))).reshape(th * tw)
+        else:
+            conv_out = self.paths[p](img, train=False)
+            z = self.psps[p](conv_out[-1], False)
         v_cur, q_cur = self.encs[p](z, pre=False, train=False)
         n, fh, fw, _ = v_cur.shape
 
         ctx = [(p + 1) % 4, (p + 2) % 4, (p + 3) % 4]
-        a1 = self.atns[p][ctx[0]](state["K"][0], state["V"][0], state["Q"][1])
+        a1 = self.atns[p][ctx[0]](state["K"][0], state["V"][0], state["Q"][1],
+                                  src_valid=tok_valid)
         a2 = self.atns[p][ctx[1]](state["K"][1], a1 + state["V"][1],
-                                  state["Q"][2])
+                                  state["Q"][2], src_valid=tok_valid)
         att = self.atns[p][ctx[2]](state["K"][2], a2 + state["V"][2], q_cur,
-                                   fea_size=(n, fh, fw))
+                                   fea_size=(n, fh, fw), src_valid=tok_valid)
         warm = state["count"] >= 3
         feat = jnp.where(warm, att + v_cur, v_cur)
-        out = self.heads[p](self.lns[p](feat), False)
+        if fv is not None:
+            feat = mask_valid(feat, fv)
+            out = self.heads[p](self.lns[p](feat, valid=fv), False)
+        else:
+            out = self.heads[p](self.lns[p](feat), False)
 
         k_new, v_new, q_new = self.encs[p](z, pre=True, train=False)
         new_state = {

@@ -314,6 +314,19 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
                                          state=state)
             return inference_pred((out,), img.shape[1:3]), new_state
 
+        @functools.partial(jax.jit, static_argnames=("pos_id",))
+        def td4_step_bucketed(img, state, pos_id, hv, wv):
+            # masked stream on the bucket grid (models/td4_psp.py): one
+            # compile per (bucket, pos_id) shared across ALL videos
+            from .models.segmentation import inference_pred_rt
+            from .ops.masked import feature_valid
+            out, new_state = model.apply(variables, img, pos_id=pos_id,
+                                         state=state, valid_hw=(hv, wv))
+            pad_hw = img.shape[1:3]
+            fv = feature_valid(out.shape[1], out.shape[2], (hv, wv), pad_hw)
+            return inference_pred_rt((out,), pad_hw, fv,
+                                     (hv, wv)), new_state
+
         for video in videos:
             ds = TestFrameDataset(args.dataroot, video, args)
             eval_video = Evaluator(args.num_class)
@@ -325,13 +338,27 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
                     x = (x - 1) // 2 + 1
                 return x
 
-            fh, fw = os8(img0.shape[0]), os8(img0.shape[1])
+            h0, w0 = img0.shape[:2]
+            bucket = getattr(args, "width_bucket", 0)
+            if bucket:
+                from .ops.masked import bucket_size, pad_to
+                key = (bucket_size(h0, bucket), bucket_size(w0, bucket))
+                fh, fw = os8(key[0]), os8(key[1])
+            else:
+                fh, fw = os8(h0), os8(w0)
             tokens = (-(-fh // 3)) * (-(-fw // 3))
             state = init_td4_state(batch=1, tokens=tokens)
             for i in range(len(ds)):
                 img, gt, gtname = ds[i]
-                pred, state = td4_step(jnp.asarray(img[None]), state, i % 4)
-                pred = np.asarray(pred)[0]
+                if bucket:
+                    pred, state = td4_step_bucketed(
+                        pad_to(jnp.asarray(img[None]), key), state, i % 4,
+                        jnp.int32(h0), jnp.int32(w0))
+                    pred = np.asarray(pred)[0, :h0, :w0]
+                else:
+                    pred, state = td4_step(jnp.asarray(img[None]), state,
+                                           i % 4)
+                    pred = np.asarray(pred)[0]
                 evaluator.add_batch(gt[None], pred[None])
                 eval_video.add_batch(gt[None], pred[None])
                 gt_list.append(gt)

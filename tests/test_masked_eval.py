@@ -320,3 +320,54 @@ def test_bucketed_netwarp_streaming_exact_and_compile_count():
             mismatch = np.mean(exact[i] != bucketed[i])
             assert mismatch < 2e-3, (hw, i, mismatch)
     assert engine.encode_shapes == [(64, 96)]   # 1 bucket, 2 widths
+
+
+def test_bucketed_tdnet_streaming_exact():
+    """Bucketed TDNet streaming == exact per-width streaming on synthetic
+    multi-width videos: masked sliced-PSP pooling, runtime spatial
+    LayerNorm (masked stats + runtime-resized affine maps), and attention
+    softmax excluding padded-grid tokens, with the K/V/Q queues living on
+    the padded token grid."""
+    from cvpr2021_vspw_implement_tpu.models.segmentation import (
+        inference_pred, inference_pred_rt)
+    from cvpr2021_vspw_implement_tpu.models.td4_psp import (TD4PSP,
+                                                            init_td4_state)
+    from cvpr2021_vspw_implement_tpu.ops.masked import bucket_size
+
+    model = TD4PSP(num_class=6, cropsize=63)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           jnp.zeros((4, 1, 32, 32, 3), jnp.float32),
+                           train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    def os8(x):
+        for _ in range(3):
+            x = (x - 1) // 2 + 1
+        return x
+
+    rng = np.random.default_rng(29)
+    for w in (64, 90):
+        h = 48
+        frames = [rng.standard_normal((1, h, w, 3)).astype(np.float32)
+                  for _ in range(5)]
+        tokens = (-(-os8(h) // 3)) * (-(-os8(w) // 3))
+        state = init_td4_state(1, tokens)
+        key = (bucket_size(h, 32), bucket_size(w, 32))
+        tokens_p = (-(-os8(key[0]) // 3)) * (-(-os8(key[1]) // 3))
+        state_p = init_td4_state(1, tokens_p)
+        for i, f in enumerate(frames):
+            out, state = model.apply(variables, jnp.asarray(f),
+                                     pos_id=i % 4, state=state)
+            pred = np.asarray(inference_pred((out,), (h, w)))[0]
+            outp, state_p = model.apply(variables, pad_to(jnp.asarray(f),
+                                                          key),
+                                        pos_id=i % 4, state=state_p,
+                                        valid_hw=(jnp.int32(h),
+                                                  jnp.int32(w)))
+            fv = feature_valid(outp.shape[1], outp.shape[2], (h, w), key)
+            predp = np.asarray(inference_pred_rt(
+                (outp,), key, fv, (jnp.int32(h), jnp.int32(w))))[0, :h, :w]
+            mismatch = np.mean(pred != predp)
+            assert mismatch < 2e-3, (w, i, mismatch)
