@@ -39,16 +39,17 @@ class ETC(nn.Module):
     raft_iters: int = 20
     dtype: Any = None
 
-    def _decode(self, conv_out, train):
+    def _decode(self, conv_out, train, feat_valid=None):
         if self.ocr:
             feats, deepsup = SpatialOCRAsDec(self.num_class, dtype=self.dtype,
-                                             name="decoder")(conv_out, train)
+                                             name="decoder")(
+                conv_out, train, feat_valid=feat_valid)
             pred = Conv(self.num_class, 1, dtype=self.dtype,
                         name="conv_last_cls")(feats)
             return pred, deepsup
         deepsup, _emb, ppm_out = PPMDeepsupClip(
             self.num_class, self.fc_dim, dtype=self.dtype,
-            name="decoder")(conv_out, train)
+            name="decoder")(conv_out, train, valid_hw=feat_valid)
         x = Conv(512, 3, padding=1, use_bias=False, dtype=self.dtype,
                  name="conv_last_0")(ppm_out)
         x = BatchNorm2d(512, dtype=self.dtype, bias_init=_bn_bias_init,
@@ -60,11 +61,27 @@ class ETC(nn.Module):
         return pred, deepsup
 
     @nn.compact
-    def __call__(self, imgs, train: bool = False):
+    def __call__(self, imgs, train: bool = False, valid_hw=None):
         """imgs: [2, B, H, W, 3] — [prev, target] in training;
-        only imgs[-1] is used at inference (single-frame)."""
+        only imgs[-1] is used at inference (single-frame).
+
+        ``valid_hw``: runtime true size for width-bucketed masked eval
+        (inference only) — trunk under the mask interceptor, decoder on
+        its masked path; the masked PPM concat keeps the conv_last_0 3x3
+        exact on the valid region (ops/masked.py)."""
         target = imgs[-1]
         if not train:
+            if valid_hw is not None:
+                from ..ops.masked import feature_valid, mask_interceptor
+                pad_hw = target.shape[1:3]
+                with nn.intercept_methods(
+                        mask_interceptor(valid_hw, pad_hw)):
+                    conv_out = self.encoder(target, train=False)
+                c5 = conv_out[-1]
+                fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw,
+                                   pad_hw)
+                pred, _ = self._decode(conv_out, False, feat_valid=fv)
+                return (pred,)
             conv_out = self.encoder(target, train=False)
             pred, _ = self._decode(conv_out, False)
             return (pred,)

@@ -71,7 +71,10 @@ def build_eval_clip_parser():
                    help="pad eval frames to multiples of this and reuse "
                         "one compiled kernel per bucket across videos "
                         "(ops/masked.py; 0 = compile per distinct shape); "
-                        "predictions are bit-identical either way")
+                        "predictions are pixel-identical for the conv/pool "
+                        "heads and match to float precision for the "
+                        "flow-coupled methods (masked instance-norm "
+                        "statistics reduce in a different order)")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return p
 
@@ -204,6 +207,34 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
         def infer(imgs):
             outs = model.apply(variables, imgs, train=False)
             return inference_pred(outs, imgs.shape[2:4])
+
+    if (getattr(args, "width_bucket", 0) and not use_memory
+            and args.method in ("ETC", "etc_ocr")):
+        # ETC inference is single-frame per-frame decode — the masked model
+        # path buckets it like test.py's per-frame eval (one compile per
+        # bucket across videos)
+        from .models.segmentation import inference_pred_rt
+        from .ops.masked import bucket_size, feature_valid, pad_to
+
+        @jax.jit
+        def _infer_bucketed(imgs, hv, wv):
+            outs = model.apply(variables, imgs, train=False,
+                               valid_hw=(hv, wv))
+            pad_hw = imgs.shape[2:4]
+            logit = outs[0]
+            fv = feature_valid(logit.shape[1], logit.shape[2], (hv, wv),
+                               pad_hw)
+            return inference_pred_rt(outs, pad_hw, fv, (hv, wv))
+
+        _bk = args.width_bucket
+
+        def infer(imgs):  # noqa: F811 — bucketed override
+            t, b, h, w, _ = imgs.shape
+            key = (bucket_size(h, _bk), bucket_size(w, _bk))
+            imgp = jnp.pad(imgs, ((0, 0), (0, 0), (0, key[0] - h),
+                                  (0, key[1] - w), (0, 0)))
+            pred = _infer_bucketed(imgp, jnp.int32(h), jnp.int32(w))
+            return pred[:, :h, :w]
 
     ds_cls = TestLongClipDataset if args.method in LONGCLIP_METHODS \
         else TestClipDataset

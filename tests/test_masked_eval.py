@@ -371,3 +371,38 @@ def test_bucketed_tdnet_streaming_exact():
                 (outp,), key, fv, (jnp.int32(h), jnp.int32(w))))[0, :h, :w]
             mismatch = np.mean(pred != predp)
             assert mismatch < 2e-3, (w, i, mismatch)
+
+
+def test_bucketed_etc_inference_exact():
+    """Masked padded ETC single-frame inference == unpadded inference on
+    the valid region (the conv_last 3x3 over the masked PPM concat is the
+    exactness-critical step)."""
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.etc import ETC
+
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    model = ETC(encoder=enc, num_class=7, fc_dim=512, raft_iters=1)
+    variables = model.init({"params": jax.random.PRNGKey(0),
+                            "dropout": jax.random.PRNGKey(1)},
+                           jnp.zeros((2, 1, 32, 32, 3), jnp.float32),
+                           train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    rng = np.random.default_rng(31)
+    for h, w in ((48, 70), (48, 90)):
+        imgs = jnp.asarray(rng.standard_normal((2, 1, h, w, 3)).astype(
+            np.float32))
+        (want,) = model.apply(variables, imgs, train=False)
+        pad_hw = (bucket_size(h, 32), bucket_size(w, 32))
+        imgp = jnp.pad(imgs, ((0, 0), (0, 0), (0, pad_hw[0] - h),
+                              (0, pad_hw[1] - w), (0, 0)))
+        (gotp,) = model.apply(variables, imgp, train=False,
+                              valid_hw=(jnp.int32(h), jnp.int32(w)))
+        hv, wv = feature_valid(gotp.shape[1], gotp.shape[2], (h, w), pad_hw)
+        hv, wv = int(hv), int(wv)
+        assert (hv, wv) == tuple(want.shape[1:3])
+        np.testing.assert_allclose(np.asarray(gotp[:, :hv, :wv]),
+                                   np.asarray(want), atol=2e-4, rtol=1e-4)
+        assert np.array_equal(np.argmax(np.asarray(gotp[:, :hv, :wv]), -1),
+                              np.argmax(np.asarray(want), -1))
