@@ -107,6 +107,64 @@ def _lookup_level(corr: jnp.ndarray, coords: jnp.ndarray, r: int) -> jnp.ndarray
     return out.reshape(b, p, n_taps * n_taps)
 
 
+def _lookup_level_onehot(corr: jnp.ndarray, coords: jnp.ndarray,
+                         r: int) -> jnp.ndarray:
+    """Gather-free formulation of ``_lookup_level``: the separable bilinear
+    window sample is two batched ONE-HOT MATMULS on the MXU.
+
+    Because all (2r+1) vertical taps share the fractional weight ``ly`` and
+    differ only by an integer row offset, the y-stage weight matrix
+    ``wy[b,p,ty,h]`` has exactly two diagonals — built from an iota
+    comparison, no gather; out-of-range taps never match the iota, which IS
+    the zero-padding semantics (utils.py:58-73).  The contraction
+    ``einsum('bpth,bphw->bptw')`` then runs as a batched matmul instead of
+    the take_along_axis path's flat scalar gathers (~112 ms/lookup on v5e)
+    or a Pallas VPU mask-reduce (~5.6 ms): measured 0.4 ms at RAFT-480p
+    (tools/raft_iter_micro.py).
+    """
+    b, p, hl, wl = corr.shape
+    k = 2 * r + 1
+    cx = coords[..., 0]                                   # [B, P]
+    cy = coords[..., 1]
+
+    def weights(c, size):
+        c0 = jnp.floor(c)
+        lam = (c - c0).astype(jnp.float32)[..., None, None]   # [B,P,1,1]
+        i0 = c0.astype(jnp.int32)[..., None, None]
+        taps = jnp.arange(-r, r + 1, dtype=jnp.int32).reshape(1, 1, k, 1)
+        iota = jnp.arange(size, dtype=jnp.int32).reshape(1, 1, 1, size)
+        base = i0 + taps                                      # [B,P,k,1]
+        return ((iota == base) * (1.0 - lam)
+                + (iota == base + 1) * lam)                   # [B,P,k,size]
+
+    wy = weights(cy, hl)
+    wx = weights(cx, wl)
+    # HIGHEST precision: the one-hot weights/accumulate math must stay
+    # f32 (parity with the gather path); the MXU's default bf16 passes
+    # round lam and corr — measured 0.05 abs drift.  FLOPs are tiny
+    # (<1 GFLOP at RAFT-480p), so the multi-pass f32 matmul is free.
+    tmp = jnp.einsum("bpth,bphw->bptw", wy, corr.astype(jnp.float32),
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    out = jnp.einsum("bpxw,bptw->bpxt", wx, tmp,
+                     preferred_element_type=jnp.float32,
+                     precision=jax.lax.Precision.HIGHEST)
+    # channel (tx, ty): outer tap = x, inner tap = y (reference quirk)
+    return out.reshape(b, p, k * k)
+
+
+def lookup_corr_pyramid_onehot(pyramid: list[jnp.ndarray],
+                               coords: jnp.ndarray,
+                               radius: int = 4) -> jnp.ndarray:
+    """MXU one-hot-matmul lookup == ``lookup_corr_pyramid`` numerically
+    (same f32 weight/accumulate math, same channel order)."""
+    b, h1, w1, _ = coords.shape
+    c = coords.reshape(b, h1 * w1, 2)
+    outs = [_lookup_level_onehot(corr, c / (2.0 ** i), radius)
+            for i, corr in enumerate(pyramid)]
+    return jnp.concatenate(outs, axis=-1).reshape(b, h1, w1, -1)
+
+
 def lookup_corr_pyramid(pyramid: list[jnp.ndarray], coords: jnp.ndarray,
                         radius: int = 4) -> jnp.ndarray:
     """coords: [B, H1, W1, 2] (x, y) at level 0 → [B, H1, W1, L*(2r+1)^2].

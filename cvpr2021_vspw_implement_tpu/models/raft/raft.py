@@ -21,7 +21,8 @@ import jax.numpy as jnp
 from flax import linen as nn
 
 from ...ops.interpolate import resize_bilinear
-from .corr import build_corr_pyramid, lookup_corr_pyramid
+from .corr import (build_corr_pyramid, lookup_corr_pyramid,
+                   lookup_corr_pyramid_onehot)
 from .extractor import BasicEncoder
 from .update import BasicUpdateBlock
 
@@ -133,18 +134,30 @@ class RAFT(nn.Module):
         update = BasicUpdateBlock(self.hidden_dim, dtype=self.dtype,
                                   name="update_block")
 
-        # fused gather-free Pallas lookup on TPU (ops/pallas/corr.py — the
-        # alt_cuda_corr equivalent); XLA take_along_axis path elsewhere and
-        # during init (flax init may execute on the host CPU backend where
-        # compiled pallas_call is unavailable)
+        # gather-free lookup on TPU: the one-hot-MATMUL formulation
+        # (corr.py::lookup_corr_pyramid_onehot) runs the separable bilinear
+        # window sample as two batched MXU contractions — measured
+        # 2.3 ms/lookup on v5e at RAFT-480p vs 5.6 ms for the Pallas VPU
+        # mask-reduce kernel (ops/pallas/corr.py, selectable via
+        # VSPW_LOOKUP=pallas) and 112 ms for take_along_axis; the XLA
+        # gather path stays the CPU/init default (host einsums lose to
+        # gathers at these shapes, and flax init may execute on CPU)
         import os as _os
-        if (not self.is_initializing()
-                and jax.default_backend() not in ("cpu",)
-                and _os.environ.get("VSPW_TPU_PALLAS", "1") == "1"):
-            from ...ops.pallas.corr import lookup_corr_pyramid_fused
-            lookup = lookup_corr_pyramid_fused
-        else:
+        choice = _os.environ.get("VSPW_LOOKUP", "onehot")
+        if self.is_initializing() or jax.default_backend() in ("cpu",):
             lookup = lookup_corr_pyramid
+        elif (choice == "pallas"
+                or _os.environ.get("VSPW_TPU_PALLAS", "1") != "1"):
+            # VSPW_TPU_PALLAS=0 historically selected the XLA formulations
+            if choice == "pallas":
+                from ...ops.pallas.corr import lookup_corr_pyramid_fused
+                lookup = lookup_corr_pyramid_fused
+            else:
+                lookup = lookup_corr_pyramid
+        elif choice == "gather":
+            lookup = lookup_corr_pyramid
+        else:
+            lookup = lookup_corr_pyramid_onehot
 
         def one_iter(net, coords1, with_mask):
             coords1 = jax.lax.stop_gradient(coords1)

@@ -82,3 +82,37 @@ def test_bf16_pyramid_storage():
         assert got.dtype == jnp.float32
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-2, atol=2e-2)
+
+
+def test_onehot_lookup_matches_xla():
+    """The MXU one-hot-matmul lookup (the TPU-default path in raft.py) ==
+    the take_along_axis reference formulation, values and gradients."""
+    from cvpr2021_vspw_implement_tpu.models.raft.corr import (
+        lookup_corr_pyramid_onehot)
+
+    pyr, coords = _setup(b=2, h=6, w=9, seed=7)
+    ref = lookup_corr_pyramid(pyr, coords, radius=2)
+    got = lookup_corr_pyramid_onehot(pyr, coords, radius=2)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
+                               rtol=1e-5, atol=1e-5)
+
+    # bf16-stored pyramid (the production refinement-loop storage)
+    pyr16 = [c.astype(jnp.bfloat16) for c in pyr]
+    ref16 = lookup_corr_pyramid(pyr16, coords, radius=2)
+    got16 = lookup_corr_pyramid_onehot(pyr16, coords, radius=2)
+    np.testing.assert_allclose(np.asarray(got16), np.asarray(ref16),
+                               rtol=1e-5, atol=1e-5)
+
+    def loss_ref(pyr, coords):
+        return jnp.sum(jnp.sin(lookup_corr_pyramid(pyr, coords, radius=2)))
+
+    def loss_oh(pyr, coords):
+        return jnp.sum(jnp.sin(
+            lookup_corr_pyramid_onehot(pyr, coords, radius=2)))
+
+    gr = jax.grad(loss_ref, argnums=(0, 1))(pyr, coords)
+    go = jax.grad(loss_oh, argnums=(0, 1))(pyr, coords)
+    for a, b in zip(jax.tree_util.tree_leaves(gr),
+                    jax.tree_util.tree_leaves(go)):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=1e-4, atol=1e-5)

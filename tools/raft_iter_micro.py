@@ -47,7 +47,7 @@ def main():
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
     from cvpr2021_vspw_implement_tpu.models.raft.corr import (
-        build_corr_pyramid, lookup_corr_pyramid)
+        build_corr_pyramid, lookup_corr_pyramid, lookup_corr_pyramid_onehot)
     from cvpr2021_vspw_implement_tpu.ops.pallas.corr import (
         lookup_corr_pyramid_fused)
     from cvpr2021_vspw_implement_tpu.ops.pallas.raft_update import (
@@ -154,6 +154,8 @@ def main():
     rows["lookup"] = timed(run, c0)
     run, c0 = scan_of(lookup_body(lookup_corr_pyramid), coords0)
     rows["lookup_xla"] = timed(run, c0)
+    run, c0 = scan_of(lookup_body(lookup_corr_pyramid_onehot), coords0)
+    rows["lookup_onehot"] = timed(run, c0)
 
     body, f0 = motion_body(motion_encoder_fused)
     run, c0 = scan_of(body, f0)
@@ -175,6 +177,10 @@ def main():
                                  gru_flowhead_xla, cast_net=True),
                       (net0, coords0))
     rows["chain_xla"] = timed(run, c0)
+    run, c0 = scan_of(chain_body(lookup_corr_pyramid_onehot,
+                                 motion_encoder_fused, gru_flowhead_fused),
+                      (net0, coords0))
+    rows["chain_onehot"] = timed(run, c0)
 
     base = rows["noop"]
     print(json.dumps({k: round(v, 3) for k, v in rows.items()}

@@ -181,8 +181,8 @@ def main():
             {"params": evars["params"],
              "batch_stats": evars["batch_stats"]},
             x, train=True, mutable=["batch_stats"])[0][-1])
-        enc_fwdbwd = jax.jit(lambda x: jax.grad(enc_loss)(
-            evars["params"], x)["conv1"]["kernel"])
+        enc_fwdbwd = jax.jit(lambda x: jax.tree_util.tree_leaves(
+            jax.grad(enc_loss)(evars["params"], x))[0])
         print(json.dumps({"config": "encoder_fwd_b4",
                           "ms": round(chained(enc_fwd, enc_in), 2)}),
               flush=True)
