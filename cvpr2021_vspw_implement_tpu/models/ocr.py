@@ -159,7 +159,14 @@ class SpatialOCRNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, conv_out, train: bool = False):
+    def __call__(self, conv_out, train: bool = False, valid_hw=None):
+        """``valid_hw``: runtime (rows, cols) valid size of C5 inside a
+        width-bucketed zero-padded grid (ops/masked.py).  C4/C5 arrive
+        masked (the trunk runs under the conv-boundary mask interceptor);
+        the 3x3 convs below therefore stay exact on the valid region, the
+        gather excludes padded pixels via ``valid=``, and every remaining
+        op (region attention, 1x1 convs) is pixelwise — so the valid
+        region of the logits equals the unpadded run bit for bit."""
         c4, c5 = conv_out[-2], conv_out[-1]
         # DSN aux head — also the gather's probability source; the reference's
         # inline Sequential uses a biased conv (ocrnet.py:48-49)
@@ -175,7 +182,7 @@ class SpatialOCRNet(nn.Module):
         x = nn.relu(x)
 
         # DSN logits at C4 resolution == C5 resolution (both OS 8)
-        context = spatial_gather(x, x_dsn)
+        context = spatial_gather(x, x_dsn, valid=valid_hw)
         x = SpatialOCR(512, 256, 512, dropout=0.05, dtype=self.dtype,
                        name="spatial_ocr_head")(x, context, train)
         x = Conv(self.num_class, 1, dtype=self.dtype, name="head")(x)

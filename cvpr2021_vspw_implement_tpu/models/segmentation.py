@@ -47,9 +47,11 @@ class SegmentationModule(nn.Module):
         with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
             conv_out = self.encoder(img, train=train, **enc_kwargs)
         from .decoders import UPerNet
-        if isinstance(self.decoder, UPerNet):
-            # FPN levels sit at different strides: the decoder derives each
-            # level's valid size from the input-level pair itself
+        from .deeplab import DeepLab
+        if isinstance(self.decoder, (UPerNet, DeepLab)):
+            # these decoders span multiple strides (FPN levels / the
+            # ASPP-OS8 + low-level-OS4 merge): each derives per-level
+            # valid sizes from the input-level pair itself
             return self.decoder(conv_out, train=train, valid_hw=valid_hw,
                                 pad_hw=pad_hw)
         c5 = conv_out[-1]

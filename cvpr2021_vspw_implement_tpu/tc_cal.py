@@ -39,7 +39,7 @@ def build_parser():
                    help="raft-things checkpoint (.pth or .msgpack)")
     p.add_argument("--raft_iters", type=int, default=20)
     p.add_argument("--allow_random_raft", action="store_true")
-    p.add_argument("--width_bucket", type=int, default=0,
+    p.add_argument("--width_bucket", type=int, default=64,
                    help="pad each frame pair to this multiple and run the "
                         "masked RAFT at the reference /8 geometry inside "
                         "the bucket grid — one XLA compile per bucket "

@@ -55,7 +55,8 @@ def build_eval_parser():
 #: via resize_bilinear_rt, hrnet.py; hrnetv2_clip eval goes through
 #: test_clip's streaming path instead)
 BUCKETED_DECODERS = {"c1", "c1_deepsup", "ppm", "ppm_deepsup",
-                     "upernet", "upernet_lite"}
+                     "upernet", "upernet_lite",
+                     "ocrnet_deepsup", "deeplab", "nonlocal2d"}
 UNBUCKETED_ENCODERS = ("hrnetv2_clip",)
 
 

@@ -406,3 +406,39 @@ def test_bucketed_etc_inference_exact():
                                    np.asarray(want), atol=2e-4, rtol=1e-4)
         assert np.array_equal(np.argmax(np.asarray(gotp[:, :hv, :wv]), -1),
                               np.argmax(np.asarray(want), -1))
+
+
+@pytest.mark.parametrize("arch_decoder", ["ocrnet_deepsup", "deeplab",
+                                          "nonlocal2d"])
+def test_bucketed_round4_decoders_exact(arch_decoder):
+    """Masked padded forward == unpadded forward on the valid region for
+    the decoder families added to BUCKETED_DECODERS in round 4 (VERDICT r3
+    item 3): the OCR spatial gather excludes padded pixels via the -inf
+    softmax mask; DeepLab's masked ASPP image pool + runtime OS8→OS4 merge
+    resize; NonLocal2d's padded-key-excluded attention with the TRUE
+    position count as the dot-mode normalizer."""
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.models.segmentation import (
+        SegmentationModule)
+
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    dec = ModelBuilder.build_decoder(arch_decoder, num_class=7, fc_dim=512)
+    model = SegmentationModule(encoder=enc, decoder=dec)
+    variables = model.init({"params": jax.random.PRNGKey(0)},
+                           jnp.zeros((1, 64, 64, 3), jnp.float32))
+
+    rng = np.random.default_rng(37)
+    for h, w in ((64, 70), (48, 90)):
+        img = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(
+            np.float32))
+        want = model.apply(variables, img, train=False)[0]
+        pad_hw = (bucket_size(h, 32), bucket_size(w, 32))
+        gotp = model.apply(variables, pad_to(img, pad_hw),
+                           train=False, valid_hw=(h, w))[0]
+        hv, wv = feature_valid(gotp.shape[1], gotp.shape[2], (h, w), pad_hw)
+        hv, wv = int(hv), int(wv)
+        assert (hv, wv) == tuple(want.shape[1:3]), ((h, w), (hv, wv))
+        np.testing.assert_allclose(np.asarray(gotp[:, :hv, :wv]),
+                                   np.asarray(want), atol=2e-4, rtol=1e-4)
+        assert np.array_equal(np.argmax(np.asarray(gotp[:, :hv, :wv]), -1),
+                              np.argmax(np.asarray(want), -1))
