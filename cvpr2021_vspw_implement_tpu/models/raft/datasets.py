@@ -533,3 +533,52 @@ def kitti(root: str, split: str = "training", augmentor=None):
               os.path.join(root, split, "flow_occ", os.path.basename(a)))
              for a in img1s]
     return FlowPairDataset(trips, augmentor, kitti_format=True)
+
+
+def hd1k(root: str, augmentor=None):
+    """HD1K layout (reference: RAFT_core/datasets.py:166-183):
+    hd1k_input/image_2/SSSSSS_NNNN.png paired consecutively WITHIN each
+    6-digit sequence prefix against hd1k_flow_gt/flow_occ/ (sparse
+    KITTI-png flow).  Like the reference, the last frame of each sequence
+    has no successor and is dropped."""
+    trips = []
+    seq_ix = 0
+    while True:
+        flows = sorted(glob.glob(os.path.join(
+            root, "hd1k_flow_gt", "flow_occ", "%06d_*.png" % seq_ix)))
+        images = sorted(glob.glob(os.path.join(
+            root, "hd1k_input", "image_2", "%06d_*.png" % seq_ix)))
+        if len(flows) == 0:
+            break
+        for i in range(len(flows) - 1):
+            trips.append((images[i], images[i + 1], flows[i]))
+        seq_ix += 1
+    return FlowPairDataset(trips, augmentor, kitti_format=True)
+
+
+class MixedFlowDataset:
+    """Weighted concatenation of flow datasets — the exact sampling
+    equivalent of the reference's ``100*clean + 100*final + 200*kitti +
+    5*hd1k + things`` torch ConcatDataset sum (RAFT_core/datasets.py:220):
+    uniform index draws over the virtual concatenation hit each part with
+    probability proportional to multiplier * len(part), and every part
+    keeps its OWN augmentor (the reference composes per-dataset aug
+    params into each member)."""
+
+    def __init__(self, parts):
+        """parts: iterable of (dataset, multiplier)."""
+        self.parts = [(ds, int(m)) for ds, m in parts]
+        assert all(m > 0 for _, m in self.parts)
+        self._sizes = [m * len(ds) for ds, m in self.parts]
+
+    def __len__(self):
+        return sum(self._sizes)
+
+    def __getitem__(self, idx):
+        if idx < 0:
+            idx += len(self)
+        for (ds, _m), sz in zip(self.parts, self._sizes):
+            if idx < sz:
+                return ds[idx % len(ds)]
+            idx -= sz
+        raise IndexError(idx)

@@ -61,35 +61,89 @@ def build_raft_train_parser():
     p.add_argument("--sum_freq", type=int, default=SUM_FREQ)
     p.add_argument("--bf16", action="store_true",
                    help="bf16 compute (the reference's --mixed_precision)")
+    p.add_argument("--sintel_mix", type=str, default="C+T+K+S+H",
+                   choices=["C+T+K+S+H", "C+T+K/S"],
+                   help="sintel-stage training mixture (reference "
+                        "RAFT_core/datasets.py:211-224 TRAIN_DS)")
     return p
 
 
-def fetch_dataset(stage: str, dataroot: str, image_size, seed: int):
+#: sintel-stage mixture weights (reference: RAFT_core/datasets.py:211-220,
+#: TRAIN_DS='C+T+K+S+H'): 100*clean + 100*final + 200*kitti + 5*hd1k +
+#: things, each member with its OWN aug params.
+SINTEL_MIX = (("sintel_clean", 100), ("sintel_final", 100), ("kitti", 200),
+              ("hd1k", 5), ("things_clean", 1))
+#: per-member aug params inside the sintel stage (same reference lines):
+#: kitti/hd1k use their own scale ranges AND do_flip=True (unlike the
+#: kitti STAGE preset, which disables flips).
+SINTEL_MIX_AUG = {
+    "sintel_clean": (-0.2, 0.6, True),
+    "sintel_final": (-0.2, 0.6, True),
+    "kitti": (-0.3, 0.5, True),
+    "hd1k": (-0.5, 0.2, True),
+    "things_clean": (-0.2, 0.6, True),
+}
+
+
+def fetch_dataset(stage: str, dataroot: str, image_size, seed: int,
+                  sintel_mix: str = "C+T+K+S+H"):
     """Stage → augmented training dataset (RAFT_core/datasets.py:199-230).
-    The sintel composite (100*clean + 100*final + things [+kitti+hd1k]) is
-    collapsed to sintel clean+final here — the multipliers only rebalance
-    epochs over an index list; steps are what bound training."""
-    from .models.raft.datasets import (FlowAugmentor, SparseFlowAugmentor,
-                                       flying_chairs, flying_things, kitti,
-                                       sintel)
+
+    For ``stage='sintel'`` the training distribution is the reference's
+    weighted mixture ``100*clean + 100*final + 200*kitti + 5*hd1k +
+    things`` with per-member aug params (SINTEL_MIX / SINTEL_MIX_AUG);
+    ``dataroot`` must then be the datasets PARENT directory containing
+    ``Sintel/``, ``FlyingThings3D/``, ``KITTI/`` and ``HD1K/`` (the
+    reference's ``datasets/`` root).  ``sintel_mix='C+T+K/S'`` selects the
+    reference's alternative 100*clean + 100*final + things composition
+    (no kitti/hd1k).  Other stages take the dataset's own root directly.
+    """
+    from .models.raft.datasets import (FlowAugmentor, MixedFlowDataset,
+                                       SparseFlowAugmentor, flying_chairs,
+                                       flying_things, hd1k, kitti, sintel)
 
     mn, mx, flip = STAGE_PRESETS[stage]
     if stage == "kitti":
         aug = SparseFlowAugmentor(image_size, mn, mx, flip, seed=seed)
         return kitti(dataroot, "training", aug)
+    if stage == "sintel":
+        members = SINTEL_MIX if sintel_mix == "C+T+K+S+H" else \
+            (("sintel_clean", 100), ("sintel_final", 100),
+             ("things_clean", 1))
+        parts = []
+        for i, (name, mult) in enumerate(members):
+            mn_i, mx_i, flip_i = SINTEL_MIX_AUG[name]
+            sparse = name in ("kitti", "hd1k")
+            aug_cls = SparseFlowAugmentor if sparse else FlowAugmentor
+            aug_i = aug_cls(image_size, mn_i, mx_i, flip_i, seed=seed + i)
+            if name == "kitti":
+                ds = kitti(os.path.join(dataroot, "KITTI"), "training",
+                           aug_i)
+            elif name == "hd1k":
+                ds = hd1k(os.path.join(dataroot, "HD1K"), aug_i)
+            elif name == "things_clean":
+                ds = flying_things(os.path.join(dataroot, "FlyingThings3D"),
+                                   "frames_cleanpass", aug_i)
+            else:
+                ds = sintel(os.path.join(dataroot, "Sintel"), "training",
+                            name.split("_")[1], aug_i)
+            assert len(ds) > 0, (
+                f"sintel-stage member {name!r} is empty under {dataroot} — "
+                "the reference recipe needs Sintel/, FlyingThings3D/, "
+                "KITTI/ and HD1K/ under the datasets root "
+                "(RAFT_core/datasets.py:211-220)")
+            parts.append((ds, mult))
+        return MixedFlowDataset(parts)
     aug = FlowAugmentor(image_size, mn, mx, flip, seed=seed)
     if stage == "chairs":
         try:
             return flying_chairs(dataroot, aug, split="training")
         except FileNotFoundError:
             return flying_chairs(dataroot, aug)
-    if stage == "things":
-        ds = flying_things(dataroot, "frames_cleanpass", aug)
-        ds.triplets += flying_things(dataroot, "frames_finalpass",
-                                     aug).triplets
-        return ds
-    ds = sintel(dataroot, "training", "clean", aug)
-    ds.triplets += sintel(dataroot, "training", "final", aug).triplets
+    # things
+    ds = flying_things(dataroot, "frames_cleanpass", aug)
+    ds.triplets += flying_things(dataroot, "frames_finalpass",
+                                 aug).triplets
     return ds
 
 
@@ -166,7 +220,9 @@ def train(args, max_steps: int | None = None, logger=None):
                else make_flow_train_step(model, tx, args.gamma, batch_stats))
 
     dataset = fetch_dataset(args.stage, args.dataroot, args.image_size,
-                            args.seed)
+                            args.seed,
+                            sintel_mix=getattr(args, "sintel_mix",
+                                               "C+T+K+S+H"))
     assert len(dataset) > 0, f"empty {args.stage} dataset at {args.dataroot}"
     os.makedirs(args.ckpt_dir, exist_ok=True)
 

@@ -136,6 +136,181 @@ def test_colorjitter_np_identity_and_range():
     assert np.any(out != img)
 
 
+def _write_png(path, hw, rng):
+    Image.fromarray(rng.integers(0, 255, (*hw, 3), np.uint8)).save(path)
+
+
+def test_hd1k_layout(tmp_path):
+    """HD1K pairs consecutively WITHIN each 6-digit sequence prefix; the
+    last frame of each sequence is dropped; flow is sparse KITTI-png
+    (reference: RAFT_core/datasets.py:166-183)."""
+    from cvpr2021_vspw_implement_tpu.models.raft.datasets import hd1k
+    from cvpr2021_vspw_implement_tpu.models.raft.frame_utils import (
+        write_kitti_png)
+
+    rng = np.random.default_rng(9)
+    hw = (18, 22)
+    img_dir = tmp_path / "hd1k_input" / "image_2"
+    flo_dir = tmp_path / "hd1k_flow_gt" / "flow_occ"
+    img_dir.mkdir(parents=True)
+    flo_dir.mkdir(parents=True)
+    # two sequences: 3 frames and 2 frames -> 2 + 1 pairs
+    for seq, n in ((0, 3), (1, 2)):
+        for i in range(n):
+            _write_png(img_dir / f"{seq:06d}_{i:04d}.png", hw, rng)
+            flow = rng.standard_normal((*hw, 2)).astype(np.float32)
+            valid = (rng.random(hw) > 0.5).astype(np.float32)
+            write_kitti_png(str(flo_dir / f"{seq:06d}_{i:04d}.png"),
+                            flow, valid)
+    ds = hd1k(str(tmp_path))
+    assert len(ds) == 3
+    img1, img2, f, v = ds[0]
+    assert img1.shape == (*hw, 3) and f.shape == (*hw, 2)
+    assert set(np.unique(v)) <= {0.0, 1.0}
+    # pair (i, i+1) within the sequence: img2 of pair 0 == img1 of pair 1
+    a1, a2, _, _ = ds[0]
+    b1, b2, _, _ = ds[1]
+    np.testing.assert_array_equal(a2, b1)
+
+
+def test_mixed_flow_dataset_weights():
+    """MixedFlowDataset index mapping == torch ``m1*ds1 + m2*ds2``: the
+    virtual length is sum(m*len) and uniform draws hit each member with
+    probability proportional to its weighted size."""
+    from cvpr2021_vspw_implement_tpu.models.raft.datasets import (
+        MixedFlowDataset)
+
+    class _Tag:
+        def __init__(self, tag, n):
+            self.tag, self.n = tag, n
+
+        def __len__(self):
+            return self.n
+
+        def __getitem__(self, i):
+            return (self.tag, i)
+
+    ds = MixedFlowDataset([(_Tag("a", 3), 100), (_Tag("b", 2), 5),
+                           (_Tag("c", 4), 1)])
+    assert len(ds) == 100 * 3 + 5 * 2 + 1 * 4
+    # layout: first 300 indices cycle through a, next 10 through b, last 4 c
+    assert ds[0] == ("a", 0) and ds[299] == ("a", 2)
+    assert ds[300] == ("b", 0) and ds[309] == ("b", 1)
+    assert ds[310] == ("c", 0) and ds[313] == ("c", 3)
+    assert ds[-1] == ("c", 3)
+
+
+def _build_sintel_stage_root(tmp_path, rng, hw=(40, 48)):
+    """Synthetic datasets/ parent with all five sintel-stage members."""
+    from cvpr2021_vspw_implement_tpu.models.raft.frame_utils import (
+        write_kitti_png)
+
+    # Sintel clean+final: one scene, 3 frames -> 2 pairs each
+    for dstype in ("clean", "final"):
+        scene = tmp_path / "Sintel" / "training" / dstype / "alley_1"
+        scene.mkdir(parents=True)
+        for i in range(3):
+            _write_png(scene / f"frame_{i:04d}.png", hw, rng)
+    flo = tmp_path / "Sintel" / "training" / "flow" / "alley_1"
+    flo.mkdir(parents=True)
+    for i in range(2):
+        write_flo(str(flo / f"frame_{i:04d}.flo"),
+                  rng.standard_normal((*hw, 2)).astype(np.float32))
+    # KITTI: 2 pairs
+    kimg = tmp_path / "KITTI" / "training" / "image_2"
+    kflo = tmp_path / "KITTI" / "training" / "flow_occ"
+    kimg.mkdir(parents=True)
+    kflo.mkdir(parents=True)
+    for i in range(2):
+        _write_png(kimg / f"{i:06d}_10.png", hw, rng)
+        _write_png(kimg / f"{i:06d}_11.png", hw, rng)
+        write_kitti_png(str(kflo / f"{i:06d}_10.png"),
+                        rng.standard_normal((*hw, 2)).astype(np.float32),
+                        np.ones(hw, np.float32))
+    # HD1K: one sequence of 3 frames -> 2 pairs
+    himg = tmp_path / "HD1K" / "hd1k_input" / "image_2"
+    hflo = tmp_path / "HD1K" / "hd1k_flow_gt" / "flow_occ"
+    himg.mkdir(parents=True)
+    hflo.mkdir(parents=True)
+    for i in range(3):
+        _write_png(himg / f"{0:06d}_{i:04d}.png", hw, rng)
+        write_kitti_png(str(hflo / f"{0:06d}_{i:04d}.png"),
+                        rng.standard_normal((*hw, 2)).astype(np.float32),
+                        np.ones(hw, np.float32))
+    # FlyingThings3D cleanpass: one dir of 2 frames -> 1 into_future +
+    # 1 into_past pair
+    tdir = tmp_path / "FlyingThings3D"
+    idir = tdir / "frames_cleanpass" / "TRAIN" / "A" / "0000" / "left"
+    fdir_f = tdir / "optical_flow" / "TRAIN" / "A" / "0000" / \
+        "into_future" / "left"
+    fdir_p = tdir / "optical_flow" / "TRAIN" / "A" / "0000" / \
+        "into_past" / "left"
+    for d in (idir, fdir_f, fdir_p):
+        d.mkdir(parents=True)
+    for i in range(2):
+        _write_png(idir / f"{i:04d}.png", hw, rng)
+    # minimal little-endian color PFM (frame_utils.read_pfm)
+    import struct
+    for d in (fdir_f, fdir_p):
+        for i in range(2):
+            data = rng.standard_normal((*hw, 3)).astype("<f4")
+            with open(d / f"{i:04d}.pfm", "wb") as fh:
+                fh.write(b"PF\n")
+                fh.write(f"{hw[1]} {hw[0]}\n".encode())
+                fh.write(b"-1.0\n")
+                fh.write(data[::-1].tobytes())
+    return tmp_path
+
+
+def test_sintel_stage_mixture_composition(tmp_path):
+    """The sintel training stage is the reference's weighted mixture
+    100*clean + 100*final + 200*kitti + 5*hd1k + things with per-member
+    aug params (RAFT_core/datasets.py:211-220) — weights pinned, every
+    member reachable, augmented samples land at the crop size."""
+    from cvpr2021_vspw_implement_tpu.raft_train import (SINTEL_MIX,
+                                                        SINTEL_MIX_AUG,
+                                                        fetch_dataset)
+
+    assert SINTEL_MIX == (("sintel_clean", 100), ("sintel_final", 100),
+                          ("kitti", 200), ("hd1k", 5), ("things_clean", 1))
+    assert SINTEL_MIX_AUG["kitti"] == (-0.3, 0.5, True)
+    assert SINTEL_MIX_AUG["hd1k"] == (-0.5, 0.2, True)
+    assert SINTEL_MIX_AUG["sintel_clean"] == (-0.2, 0.6, True)
+
+    rng = np.random.default_rng(10)
+    root = _build_sintel_stage_root(tmp_path, rng)
+    crop = (32, 32)
+    ds = fetch_dataset("sintel", str(root), crop, seed=0)
+    # 100*2 clean + 100*2 final + 200*2 kitti + 5*2 hd1k + 2 things
+    assert len(ds) == 200 + 200 + 400 + 10 + 2
+    sizes = dict(zip([n for n, _ in SINTEL_MIX], ds._sizes))
+    assert sizes == {"sintel_clean": 200, "sintel_final": 200,
+                     "kitti": 400, "hd1k": 10, "things_clean": 2}
+    # one draw from each member region: augmented to the crop size with
+    # the right density (dense -> all-ones valid; sparse -> 0/1 mask)
+    starts = np.cumsum([0] + ds._sizes[:-1])
+    for (name, _m), s in zip(SINTEL_MIX, starts):
+        img1, img2, flow, valid = ds[int(s)]
+        assert img1.shape == (*crop, 3), name
+        assert flow.shape == (*crop, 2), name
+        if name in ("kitti", "hd1k"):
+            assert set(np.unique(valid)) <= {0.0, 1.0}, name
+        else:
+            np.testing.assert_array_equal(valid, np.ones(crop), name)
+
+
+def test_sintel_stage_mixture_cts(tmp_path):
+    """TRAIN_DS='C+T+K/S': 100*clean + 100*final + things, no kitti/hd1k
+    (reference RAFT_core/datasets.py:222-224)."""
+    from cvpr2021_vspw_implement_tpu.raft_train import fetch_dataset
+
+    rng = np.random.default_rng(11)
+    root = _build_sintel_stage_root(tmp_path, rng)
+    ds = fetch_dataset("sintel", str(root), (32, 32), seed=0,
+                       sintel_mix="C+T+K/S")
+    assert len(ds) == 200 + 200 + 2
+
+
 def test_colorjitter_np_hue_full_turn_identity():
     """A full hue turn (f=1.0) must be the identity up to rounding."""
     from cvpr2021_vspw_implement_tpu.models.raft.datasets import ColorJitterNP

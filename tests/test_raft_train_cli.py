@@ -143,3 +143,46 @@ def _write_pfm(path, img):
         f.write(f"{w} {h}\n".encode())
         f.write(b"-1.0\n")
         np.flipud(img).astype("<f4").tofile(f)
+
+
+def test_raft_stage_chain_script(tmp_path):
+    """scripts/run_raft_stages.sh (reference: RAFT/train_standard.sh):
+    chairs -> things -> sintel -> kitti chained end to end with the
+    checkpoint handed forward, 2 steps per stage on synthetic data; all
+    four stage checkpoints must exist and the final weights be finite."""
+    import subprocess
+    import sys
+
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_flow_datasets import _build_sintel_stage_root
+
+    rng = np.random.default_rng(20)
+    root = _build_sintel_stage_root(tmp_path, rng, hw=(72, 88))
+    _make_chairs(str(root), n=3, hw=(72, 88))
+    # the things STAGE also trains on frames_finalpass (datasets.py:207-209)
+    from PIL import Image
+    tdir = root / "FlyingThings3D"
+    fin = tdir / "frames_finalpass" / "TRAIN" / "A" / "0000" / "left"
+    os.makedirs(fin)
+    for i in range(2):
+        Image.fromarray(rng.integers(0, 255, (72, 88, 3), np.uint8)).save(
+            fin / f"{i:04d}.png")
+
+    ckpts = tmp_path / "ckpts"
+    env = dict(os.environ,
+               DATASETS=str(root), CKPTS=str(ckpts),
+               NUM_STEPS="2", BATCH="1", CROP="64 64", ITERS="2", VAL="",
+               JAX_PLATFORMS="cpu")
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    proc = subprocess.run(
+        ["bash", os.path.join(repo, "scripts", "run_raft_stages.sh")],
+        env=env, cwd=repo, capture_output=True, text=True, timeout=1800)
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    for name in ("raft-chairs", "raft-things", "raft-sintel", "raft-kitti"):
+        assert (ckpts / f"{name}.msgpack").exists(), name
+    import flax.serialization as ser
+    with open(ckpts / "raft-kitti.msgpack", "rb") as f:
+        tree = ser.msgpack_restore(f.read())
+    import jax
+    assert all(np.isfinite(np.asarray(x)).all()
+               for x in jax.tree_util.tree_leaves(tree))
