@@ -107,20 +107,35 @@ class ClipOCRNet(nn.Module):
         return self.head(x)
 
     def __call__(self, imgs, train: bool = False,
-                 memory: MemoryState | None = None):
+                 memory: MemoryState | None = None, valid_hw=None):
         """imgs: [T+1, B, H, W, 3], target LAST.
 
         Returns (main, dsn) in training; ((main,), new_memory?) at inference.
-        """
+
+        ``valid_hw``: runtime (rows, cols) of the TRUE frames inside
+        width-bucketed zero-padded ``imgs`` (eval only) — masked trunk +
+        padded-pixel-excluded gather; the OCR chain past the gather is
+        per-pixel, so the valid region is exact (covers the ``memory`` and
+        ``clipocr_all`` window paths the streamer cannot serve)."""
         t1, b, h, w, _ = imgs.shape
         flat = imgs.reshape(t1 * b, h, w, imgs.shape[-1])
-        conv_out = self.encoder(flat, train=train)
-        # DSN over all frames (reference: clip_ocr.py:120)
-        x_dsn = self._dsn(conv_out[-2], train)
-        feat = self._feat(conv_out[-1], train)
+        fv = None
+        if valid_hw is not None:
+            from ..ops.masked import feature_valid, mask_interceptor
+            with nn.intercept_methods(mask_interceptor(valid_hw, (h, w))):
+                conv_out = self.encoder(flat, train=train)
+                x_dsn = self._dsn(conv_out[-2], train)
+                feat = self._feat(conv_out[-1], train)
+            fv = feature_valid(feat.shape[1], feat.shape[2], valid_hw,
+                               (h, w))
+        else:
+            conv_out = self.encoder(flat, train=train)
+            # DSN over all frames (reference: clip_ocr.py:120)
+            x_dsn = self._dsn(conv_out[-2], train)
+            feat = self._feat(conv_out[-1], train)
 
         # per-frame region contexts [T+1, B, K, C]
-        ctx_frames = spatial_gather(feat, x_dsn).reshape(
+        ctx_frames = spatial_gather(feat, x_dsn, valid=fv).reshape(
             t1, b, self.num_class, 512)
 
         new_memory = None

@@ -141,30 +141,51 @@ class ClipPSP(nn.Module):
             return c5, (pooled, wp.reshape(-1))
         return c5, pooled
 
-    def __call__(self, imgs, train: bool = False):
+    def __call__(self, imgs, train: bool = False, valid_hw=None):
         """imgs: [T+1, B, H, W, 3] with the target frame LAST.
 
         Returns (main_logits [B, h, w, C], deepsup_logits [(T+1)*B, h, w, C])
         in training; (main_logits,) at inference.
-        """
+
+        ``valid_hw``: runtime (rows, cols) of the TRUE frames inside
+        width-bucketed zero-padded ``imgs`` (eval only) — the trunk runs
+        under the conv-boundary mask interceptor and every global op
+        (pooled stats, psp_weight pooling, pyramid resize) covers the
+        valid region only, so the window path (incl. the ``psp_weight``
+        variant the streamer cannot serve) is exact on the bucket grid."""
         t1, b, h, w, _ = imgs.shape
         flat = imgs.reshape(t1 * b, h, w, imgs.shape[-1])
-        conv_out = self.encoder(flat, train=train)
-        c5 = conv_out[-1]
+        fv = None
+        if valid_hw is not None:
+            from ..ops.masked import (adaptive_avg_pool2d_rt, feature_valid,
+                                      global_avg_pool_rt, mask_interceptor,
+                                      mask_valid)
+            pad_hw = (h, w)
+            with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+                conv_out = self.encoder(flat, train=train)
+            c5 = conv_out[-1]
+            fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, pad_hw)
+            c5 = mask_valid(c5, fv)
+        else:
+            conv_out = self.encoder(flat, train=train)
+            c5 = conv_out[-1]
         fh, fw, fc = c5.shape[1:]
         c5_t = c5.reshape(t1, b, fh, fw, fc)
         target_c5 = c5_t[-1]
 
         psp_w = None
         if self.psp_weight:
-            wp = global_avg_pool(self.pspweight_conv(c5))    # [(T+1)B,1,1,1]
+            wp = global_avg_pool_rt(self.pspweight_conv(c5), fv) \
+                if fv is not None else \
+                global_avg_pool(self.pspweight_conv(c5))     # [(T+1)B,1,1,1]
             # softmax across frames, kept in INPUT order (others..., target)
             psp_w = jax.nn.softmax(
                 wp.reshape(t1, b, 1, 1, 1).astype(jnp.float32), axis=0)
 
         blended = []
         for scale in self.pool_scales:
-            p = adaptive_avg_pool2d(c5, scale)
+            p = adaptive_avg_pool2d_rt(c5, scale, fv) if fv is not None \
+                else adaptive_avg_pool2d(c5, scale)
             p = p.reshape(t1, b, scale, scale, fc)
             # reference appends target first, then the others
             p = jnp.concatenate([p[-1:], p[:-1]], axis=0)
@@ -172,7 +193,7 @@ class ClipPSP(nn.Module):
                 p = p * psp_w.astype(p.dtype)
             blended.append(jnp.mean(p, axis=0))              # [B, s, s, C]
 
-        main = self.fuse_target(target_c5, blended, train)
+        main = self.fuse_target(target_c5, blended, train, feat_valid=fv)
         if not train:
             return (main,)
 

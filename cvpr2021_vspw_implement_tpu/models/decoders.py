@@ -205,9 +205,9 @@ class PPMClip(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, conv_out, train: bool = False):
+    def __call__(self, conv_out, train: bool = False, valid_hw=None):
         ppm_out = PPMPyramid(self.fc_dim, self.pool_scales, self.dtype,
-                             name="ppm")(conv_out[-1], train)
+                             name="ppm")(conv_out[-1], train, valid_hw)
         return PPMLastConv(None, self.fc_dim, len(self.pool_scales),
                            self.dtype, name="conv_last_")(ppm_out, train)
 

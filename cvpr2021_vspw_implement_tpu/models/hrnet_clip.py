@@ -31,14 +31,23 @@ class TimeAtten(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, c_emb, clip_embs):
-        """c_emb: [B, H, W, C]; clip_embs: [T, B, H, W, C]."""
-        q = global_avg_pool(c_emb, keepdims=False)           # [B, C]
+    def __call__(self, c_emb, clip_embs, feat_valid=None):
+        """c_emb: [B, H, W, C]; clip_embs: [T, B, H, W, C].
+
+        ``feat_valid``: runtime valid (rows, cols) of the feature maps for
+        width-bucketed masked eval — the cosine queries/keys average over
+        the valid region only; the blend/concat/1x1 chain is pixelwise."""
+        if feat_valid is not None:
+            from ..ops.masked import global_avg_pool_rt
+            pool = lambda v: global_avg_pool_rt(v, feat_valid,
+                                                keepdims=False)
+        else:
+            pool = lambda v: global_avg_pool(v, keepdims=False)
+        q = pool(c_emb)                                      # [B, C]
         q = q / (jnp.linalg.norm(q.astype(jnp.float32), axis=1,
                                  keepdims=True) + 1e-12)
-        ks = global_avg_pool(
-            clip_embs.reshape(-1, *clip_embs.shape[2:]),
-            keepdims=False).reshape(clip_embs.shape[0], clip_embs.shape[1], -1)
+        ks = pool(clip_embs.reshape(-1, *clip_embs.shape[2:])).reshape(
+            clip_embs.shape[0], clip_embs.shape[1], -1)
         ks = ks / (jnp.linalg.norm(ks.astype(jnp.float32), axis=2,
                                    keepdims=True) + 1e-12)
         w = jnp.einsum("bc,tbc->tb", q.astype(jnp.float32), ks)
@@ -57,20 +66,37 @@ class HRNetV2Clip(nn.Module):
 
     @nn.compact
     def __call__(self, c_img, clip_imgs, train: bool = False,
-                 return_feature_maps: bool = True):
-        """c_img [B,H,W,3]; clip_imgs [T,B,H,W,3]."""
+                 return_feature_maps: bool = True, valid_hw=None):
+        """c_img [B,H,W,3]; clip_imgs [T,B,H,W,3].
+
+        ``valid_hw``: runtime (rows, cols) of the TRUE frames inside
+        width-bucketed zero-padded inputs (eval only) — masked stem +
+        valid-region TimeAtten pooling + runtime-masked HRNet fusion
+        resizes (models/hrnet.py)."""
         stem = HRNetStem(dtype=self.dtype, name="stem")
         t, b = clip_imgs.shape[:2]
         flat = clip_imgs.reshape(t * b, *clip_imgs.shape[2:])
-        # clip frames: frozen BN stats + no grad (hrnet_clip.py:443-453)
-        clip_feat = jax.lax.stop_gradient(stem(flat, train=False))
-        clip_feat = clip_feat.reshape(t, b, *clip_feat.shape[1:])
-
-        x = stem(c_img, train=train)
-        if self.args is None or getattr(self.args, "clip_middle", True):
-            x = TimeAtten(x.shape[-1], dtype=self.dtype,
-                          name="time_atten")(x, clip_feat)
-        out = HRNetStages(dtype=self.dtype, name="stages")(x, train)
+        pad_hw = c_img.shape[1:3]
+        if valid_hw is not None:
+            from ..ops.masked import feature_valid, mask_interceptor
+            ctx = nn.intercept_methods(mask_interceptor(valid_hw, pad_hw))
+        else:
+            import contextlib
+            ctx = contextlib.nullcontext()
+        with ctx:
+            # clip frames: frozen BN stats + no grad (hrnet_clip.py:443-453)
+            clip_feat = jax.lax.stop_gradient(stem(flat, train=False))
+            clip_feat = clip_feat.reshape(t, b, *clip_feat.shape[1:])
+            x = stem(c_img, train=train)
+            if self.args is None or getattr(self.args, "clip_middle", True):
+                fv = feature_valid(x.shape[1], x.shape[2], valid_hw,
+                                   pad_hw) if valid_hw is not None else None
+                x = TimeAtten(x.shape[-1], dtype=self.dtype,
+                              name="time_atten")(x, clip_feat,
+                                                 feat_valid=fv)
+            out = HRNetStages(dtype=self.dtype, name="stages")(
+                x, train, valid_hw=valid_hw,
+                pad_hw=pad_hw if valid_hw is not None else None)
         return [out]
 
 
@@ -80,7 +106,16 @@ class SegmentationModuleClip(nn.Module):
     encoder: nn.Module
     decoder: nn.Module
 
-    def __call__(self, c_img, clip_imgs, train: bool = False):
+    def __call__(self, c_img, clip_imgs, train: bool = False,
+                 valid_hw=None):
+        if valid_hw is not None:
+            from ..ops.masked import feature_valid
+            conv_out = self.encoder(c_img, clip_imgs, train=train,
+                                    valid_hw=valid_hw)
+            c = conv_out[-1]
+            fv = feature_valid(c.shape[1], c.shape[2], valid_hw,
+                               c_img.shape[1:3])
+            return self.decoder(conv_out, train=train, valid_hw=fv)
         conv_out = self.encoder(c_img, clip_imgs, train=train)
         return self.decoder(conv_out, train=train)
 

@@ -30,20 +30,39 @@ class NonLocal3D(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, imgs, train: bool = False):
+    def __call__(self, imgs, train: bool = False, valid_hw=None):
         """imgs: [T, B, H, W, 3] (all frames supervised; no target slot).
 
         Returns logits [T, B, h, w, K].
-        """
+
+        ``valid_hw``: runtime (rows, cols) of the TRUE frames inside
+        width-bucketed zero-padded ``imgs`` (eval only) — masked trunk;
+        the space-TIME attention excludes padded key positions on every
+        frame (NLBlockND ``valid_mask``), so the valid region is exact."""
         t, b, h, w, _ = imgs.shape
         flat = imgs.reshape(t * b, h, w, imgs.shape[-1])
-        conv_out = self.encoder(flat, train=train)
-        emb = Conv(256, 1, dtype=self.dtype, name="emb")(conv_out[-1])
-        fh, fw = emb.shape[1:3]
+        vm3 = None
+        if valid_hw is not None:
+            from ..ops.masked import (feature_valid, mask_interceptor,
+                                      mask_valid)
+            with nn.intercept_methods(mask_interceptor(valid_hw, (h, w))):
+                conv_out = self.encoder(flat, train=train)
+                emb = Conv(256, 1, dtype=self.dtype,
+                           name="emb")(conv_out[-1])
+            fh, fw = emb.shape[1:3]
+            fhv, fwv = feature_valid(fh, fw, valid_hw, (h, w))
+            emb = mask_valid(emb, (fhv, fwv))
+            mh = jax.lax.broadcasted_iota(jnp.int32, (fh, fw), 0) < fhv
+            mw = jax.lax.broadcasted_iota(jnp.int32, (fh, fw), 1) < fwv
+            vm3 = jnp.broadcast_to((mh & mw)[None], (t, fh, fw))
+        else:
+            conv_out = self.encoder(flat, train=train)
+            emb = Conv(256, 1, dtype=self.dtype, name="emb")(conv_out[-1])
+            fh, fw = emb.shape[1:3]
         # [B, T, h, w, C] — time as a spatial dim for the ND block
         x = emb.reshape(t, b, fh, fw, 256).transpose(1, 0, 2, 3, 4)
         x = NLBlockND(256, mode="dot", dtype=self.dtype,
-                      name="nonlocalblock")(x, train)
+                      name="nonlocalblock")(x, train, valid_mask=vm3)
         x = x.transpose(1, 0, 2, 3, 4).reshape(t * b, fh, fw, 256)
         x = jnp.concatenate([emb, x], axis=-1)
         x = Conv(self.num_class, 1, dtype=self.dtype, name="last_layer")(x)

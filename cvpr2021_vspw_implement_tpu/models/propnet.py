@@ -32,14 +32,21 @@ from .segmentation import nll_from_logprobs
 
 
 def prop_pred(prev_emb, query_emb, prev_labels, max_distance: int,
-              num_class: int) -> jnp.ndarray:
+              num_class: int, feat_valid=None) -> jnp.ndarray:
     """Propagated per-class min-distance map (reference: propnet.py:54-81).
 
     prev_emb/query_emb: [B, h, w, C]; prev_labels: [B, H, W] int
     → [B, h, w, num_class] in [-1, 1] (1 where the class is absent).
+
+    ``feat_valid``: runtime valid (rows, cols) for width-bucketed masked
+    eval.  Beyond-valid window positions get distance 1e20 →
+    sigmoid-squashed 1.0 == the "class absent" default, so whatever label
+    the padded region appears to carry contributes exactly the absent
+    score and the min matches the unpadded run.
     """
     b, h, w, _ = prev_emb.shape
-    d = local_pairwise_dist(query_emb, prev_emb, max_distance)
+    d = local_pairwise_dist(query_emb, prev_emb, max_distance,
+                            valid_hw=feat_valid)
     d = (jax.nn.sigmoid(d.astype(jnp.float32)) - 0.5) * 2.0
     k = 2 * max_distance + 1
     d = d.reshape(b, h, w, k * k)
@@ -98,56 +105,82 @@ class PropNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, imgs, train: bool = False):
-        """imgs: [T+1, B, H, W, 3], target LAST."""
+    def __call__(self, imgs, train: bool = False, valid_hw=None):
+        """imgs: [T+1, B, H, W, 3], target LAST.
+
+        ``valid_hw``: runtime (rows, cols) of the TRUE frames inside
+        width-bucketed zero-padded ``imgs`` (eval only) — masked trunk +
+        valid-region PPM + absent-exact propagation (``prop_pred``)."""
         t1, b, h, w, _ = imgs.shape
         flat = imgs.reshape(t1 * b, h, w, imgs.shape[-1])
-        conv_out = self.encoder(flat, train=train)
+        import contextlib
+        fv = None
+        feat_ctx = contextlib.nullcontext()
+        if valid_hw is not None:
+            from ..ops.masked import feature_valid, mask_interceptor
+            # trunk interceptor covers the stride pyramid; decoder pooled
+            # branches handle masking via valid_hw; the propagation heads
+            # (emb/emb2/segblock) all sit at the c5 resolution and run
+            # under a FEATURE-LEVEL interceptor (see warp_our.py)
+            with nn.intercept_methods(mask_interceptor(valid_hw, (h, w))):
+                conv_out = self.encoder(flat, train=train)
+            c5 = conv_out[-1]
+            fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, (h, w))
+            feat_ctx = nn.intercept_methods(
+                mask_interceptor(fv, c5.shape[1:3]))
+        else:
+            conv_out = self.encoder(flat, train=train)
         deepsup, clip_embs, _ = PPMDeepsupClip(
             self.num_class, self.fc_dim, dtype=self.dtype,
-            name="decoder")(conv_out, train)
+            name="decoder")(conv_out, train, valid_hw=fv)
 
-        embs = ConvBNReLU(self.emb_dim, dtype=self.dtype,
-                          bn_bias_init=_bn_bias_init, name="emb")(clip_embs, train)
-        pred_s = Dropout2d(0.1, name="last_drop")(embs, train)
-        pred_s = Conv(self.num_class, 1, dtype=self.dtype,
-                      name="last_layer")(pred_s)
+        with feat_ctx:
+            embs = ConvBNReLU(self.emb_dim, dtype=self.dtype,
+                              bn_bias_init=_bn_bias_init,
+                              name="emb")(clip_embs, train)
+            pred_s = Dropout2d(0.1, name="last_drop")(embs, train)
+            pred_s = Conv(self.num_class, 1, dtype=self.dtype,
+                          name="last_layer")(pred_s)
 
-        embs2 = ConvBNReLU(self.emb_dim, dtype=self.dtype,
-                           bn_bias_init=_bn_bias_init, name="emb2")(clip_embs, train)
-        e2 = embs2.reshape(t1, b, *embs2.shape[1:])
-        c_emb = e2[-1]
-        max_distance = int(getattr(self.args, "max_distances", [10])[0])
+            embs2 = ConvBNReLU(self.emb_dim, dtype=self.dtype,
+                               bn_bias_init=_bn_bias_init,
+                               name="emb2")(clip_embs, train)
+            e2 = embs2.reshape(t1, b, *embs2.shape[1:])
+            c_emb = e2[-1]
+            max_distance = int(getattr(self.args, "max_distances", [10])[0])
 
-        segblock = SegBlock(self.num_class, self.emb_dim, dtype=self.dtype,
-                            name="segblock")
+            segblock = SegBlock(self.num_class, self.emb_dim,
+                                dtype=self.dtype, name="segblock")
 
-        if train:
-            # per-frame hard labels from the per-frame head at FULL res
-            # (reference: propnet.py:205-209)
-            logp = jax.nn.log_softmax(pred_s.astype(jnp.float32), axis=-1)
-            logp_up = resize_bilinear(logp, (h, w))
-            pred_labels = jnp.argmax(logp_up, axis=-1)       # [(T+1)B, H, W]
-            pl = pred_labels.reshape(t1, b, h, w)
-            preds_c = []
+            if train:
+                # per-frame hard labels from the per-frame head at FULL res
+                # (reference: propnet.py:205-209)
+                logp = jax.nn.log_softmax(pred_s.astype(jnp.float32),
+                                          axis=-1)
+                logp_up = resize_bilinear(logp, (h, w))
+                pred_labels = jnp.argmax(logp_up, axis=-1)  # [(T+1)B, H, W]
+                pl = pred_labels.reshape(t1, b, h, w)
+                preds_c = []
+                for f in range(t1 - 1):
+                    prop = prop_pred(e2[f], c_emb, pl[f], max_distance,
+                                     self.num_class)
+                    x = jnp.concatenate([c_emb, prop.astype(c_emb.dtype)],
+                                        axis=-1)
+                    preds_c.append(segblock(x, train))
+                return {"pred_s": pred_s, "deepsup": deepsup,
+                        "preds_c": preds_c}
+
+            # inference: average segblock logits over frames + per-frame head
+            ps = pred_s.reshape(t1, b, *pred_s.shape[1:])
+            out = [ps[-1]]
             for f in range(t1 - 1):
-                prop = prop_pred(e2[f], c_emb, pl[f], max_distance,
-                                 self.num_class)
-                x = jnp.concatenate([c_emb, prop.astype(c_emb.dtype)], axis=-1)
-                preds_c.append(segblock(x, train))
-            return {"pred_s": pred_s, "deepsup": deepsup,
-                    "preds_c": preds_c}
-
-        # inference: average segblock logits over frames + per-frame head
-        ps = pred_s.reshape(t1, b, *pred_s.shape[1:])
-        out = [ps[-1]]
-        for f in range(t1 - 1):
-            other_l = jnp.argmax(ps[f], axis=-1)
-            other_l_up = other_l  # feature-res labels; prop_pred resizes
-            prop = prop_pred(e2[f], c_emb, other_l_up, max_distance,
-                             self.num_class)
-            x = jnp.concatenate([c_emb, prop.astype(c_emb.dtype)], axis=-1)
-            out.append(segblock(x, False))
+                other_l = jnp.argmax(ps[f], axis=-1)
+                other_l_up = other_l  # feature-res labels; prop_pred resizes
+                prop = prop_pred(e2[f], c_emb, other_l_up, max_distance,
+                                 self.num_class, feat_valid=fv)
+                x = jnp.concatenate([c_emb, prop.astype(c_emb.dtype)],
+                                    axis=-1)
+                out.append(segblock(x, False))
         return (jnp.mean(jnp.stack(out, 0), axis=0),)
 
 

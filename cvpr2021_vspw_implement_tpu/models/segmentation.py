@@ -186,3 +186,15 @@ def inference_pred_rt(outputs, seg_pad: tuple[int, int], feat_valid,
     x = resize_bilinear_rt(logits.astype(jnp.float32), seg_pad, feat_valid,
                            seg_valid)
     return jnp.argmax(x, axis=-1).astype(jnp.uint8)
+
+
+def inference_probs_rt(outputs, seg_pad: tuple[int, int], feat_valid,
+                       seg_valid) -> jnp.ndarray:
+    """``inference_probs`` for width-bucketed masked eval (the nonlocal3d
+    ``test_all`` score averaging needs probabilities, not argmax).
+    Rows/cols beyond ``seg_valid`` are garbage — the caller crops."""
+    from ..ops.masked import resize_bilinear_rt
+    logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
+    x = resize_bilinear_rt(logits.astype(jnp.float32), seg_pad, feat_valid,
+                           seg_valid)
+    return jax.nn.softmax(x, axis=-1)

@@ -71,11 +71,18 @@ class WarpNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, clip_embs, train: bool = False):
+    def __call__(self, clip_embs, train: bool = False, feat_valid=None):
         """clip_embs: [(T+1)*B, h, w, 512], target frame LAST group.
 
         Returns (logits [B, h, w, K], emb2 [(T+1)*B, h, w, fc_dim]).
-        """
+
+        ``feat_valid``: runtime valid (rows, cols) of the feature maps for
+        width-bucketed masked eval — the cost volumes treat at-or-beyond-
+        valid positions exactly like the unpadded run's out-of-bounds
+        (|y|^2 = 1e20, y = 0 — ops/local_pairwise.py), so every
+        aggregation mode (sigmoid / distsoftmax / the distnearest argmax
+        quirk) is exact on the valid region.  Runs the banded-matmul XLA
+        path (the fused Pallas kernels take static shapes only)."""
         t1 = self.clip_num
         tb = clip_embs.shape[0]
         b = tb // t1
@@ -83,13 +90,18 @@ class WarpNet(nn.Module):
                           bn_bias_init=_bn_bias_init, name="emb_2")(clip_embs, train)
         emb_s = ConvBNReLU(self.emb_dim, dtype=self.dtype,
                            bn_bias_init=_bn_bias_init, name="emb")(clip_embs, train)
+        if feat_valid is not None:
+            from ..ops.masked import mask_valid
+            emb2 = mask_valid(emb2, feat_valid)
+            emb_s = mask_valid(emb_s, feat_valid)
         e2 = emb2.reshape(t1, b, *emb2.shape[1:])
         es = emb_s.reshape(t1, b, *emb_s.shape[1:])
         target_e2, target_es = e2[-1], es[-1]
 
         # every aggregation mode has a fused Pallas kernel on TPU
         # (ops/pallas/local_agg.py): no HBM distance volume, MXU matmuls only
-        use_fused = (jax.default_backend() not in ("cpu",)
+        use_fused = (feat_valid is None
+                     and jax.default_backend() not in ("cpu",)
                      and os.environ.get("VSPW_TPU_PALLAS", "1") == "1")
 
         final = [target_es]
@@ -109,7 +121,8 @@ class WarpNet(nn.Module):
                     per_scale.append(local_sigmoid_aggregate(
                         target_e2, e2[f], es[f], r))
                 else:
-                    dist = local_pairwise_dist(target_e2, e2[f], r)
+                    dist = local_pairwise_dist(target_e2, e2[f], r,
+                                               valid_hw=feat_valid)
                     per_scale.append(warp_one_scale(
                         dist, es[f], r, self.distsoftmax, self.distnearest,
                         self.temp, self.emb_dim))
@@ -141,17 +154,39 @@ class ClipWarpNet(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, imgs, train: bool = False):
-        """imgs: [T+1, B, H, W, 3], target LAST."""
+    def __call__(self, imgs, train: bool = False, valid_hw=None):
+        """imgs: [T+1, B, H, W, 3], target LAST.
+
+        ``valid_hw``: runtime (rows, cols) of the TRUE frames inside
+        width-bucketed zero-padded ``imgs`` (eval only) — masked trunk +
+        valid-region PPM + out-of-bounds-exact cost volumes (WarpNet)."""
         t1, b, h, w, _ = imgs.shape
         flat = imgs.reshape(t1 * b, h, w, imgs.shape[-1])
         fix = bool(getattr(self.args, "fix", False))
         enc_dec_train = train and not fix
 
-        conv_out = self.encoder(flat, train=enc_dec_train)
+        import contextlib
+        fv = None
+        feat_ctx = contextlib.nullcontext()
+        if valid_hw is not None:
+            from ..ops.masked import feature_valid, mask_interceptor
+            # interceptor covers the STRIDE-PYRAMID trunk only — the
+            # decoder's pooled-branch convs (1/2/3/6 maps) do not follow
+            # the input ratio rule and handle masking via valid_hw
+            with nn.intercept_methods(mask_interceptor(valid_hw, (h, w))):
+                conv_out = self.encoder(flat, train=enc_dec_train)
+            c5 = conv_out[-1]
+            fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, (h, w))
+            # the warp head's convs all sit at the c5 resolution: a
+            # FEATURE-LEVEL interceptor (pad == the feature grid itself)
+            # re-zeros every conv boundary there exactly
+            feat_ctx = nn.intercept_methods(
+                mask_interceptor(fv, c5.shape[1:3]))
+        else:
+            conv_out = self.encoder(flat, train=enc_dec_train)
         deepsup, clip_embs, _ppm = PPMDeepsupClip(
             self.num_class, self.fc_dim, dtype=self.dtype,
-            name="decoder")(conv_out, enc_dec_train)
+            name="decoder")(conv_out, enc_dec_train, valid_hw=fv)
         if fix:
             if deepsup is not None:
                 deepsup = jax.lax.stop_gradient(deepsup)
@@ -165,7 +200,8 @@ class ClipWarpNet(nn.Module):
             distnearest=getattr(self.args, "distnearest", False),
             temp=getattr(self.args, "temp", 3.0),
             dtype=self.dtype, name="prop_clip")
-        pred, emb2 = warp(clip_embs, train)
+        with feat_ctx:
+            pred, emb2 = warp(clip_embs, train, feat_valid=fv)
         if not train:
             return (pred,)
         allsup_pred = Dropout2d(0.1, name="allsup_drop")(emb2, train)

@@ -42,10 +42,15 @@ class WarpNetMerge(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, clip_embs, conv4, train: bool = False):
+    def __call__(self, clip_embs, conv4, train: bool = False,
+                 feat_valid=None):
         """clip_embs [(T+1)B, h, w, 512]; conv4 [(T+1)B, h, w, 1024].
 
-        Returns (per-neighbor preds list, emb [(T+1)B,h,w,256], deepsup)."""
+        Returns (per-neighbor preds list, emb [(T+1)B,h,w,256], deepsup).
+
+        ``feat_valid``: runtime valid (rows, cols) for width-bucketed
+        masked eval — cost volumes get the unpadded run's out-of-bounds
+        treatment beyond the valid region (ops/local_pairwise.py)."""
         t1 = self.clip_num
         tb = clip_embs.shape[0]
         b = tb // t1
@@ -53,6 +58,10 @@ class WarpNetMerge(nn.Module):
                          bn_bias_init=_bn_bias_init, name="emb")(clip_embs, train)
         c4e = ConvBNReLU(self.emb_dim, dtype=self.dtype,
                          bn_bias_init=_bn_bias_init, name="emb2")(conv4, train)
+        if feat_valid is not None:
+            from ..ops.masked import mask_valid
+            emb = mask_valid(emb, feat_valid)
+            c4e = mask_valid(c4e, feat_valid)
         e = emb.reshape(t1, b, *emb.shape[1:])
         c4 = c4e.reshape(t1, b, *c4e.shape[1:])
         target_e, target_c4 = e[-1], c4[-1]
@@ -66,7 +75,8 @@ class WarpNetMerge(nn.Module):
         for f in range(min(t1 - 1, 1)):
             per_scale = []
             for r in self.max_distances:
-                dist = local_pairwise_dist(target_c4, c4[f], r)
+                dist = local_pairwise_dist(target_c4, c4[f], r,
+                                           valid_hw=feat_valid)
                 per_scale.append(warp_one_scale(
                     dist, e[f], r, self.distsoftmax, self.distnearest,
                     self.temp, self.emb_dim))
@@ -86,24 +96,46 @@ class OurWarpMerge(nn.Module):
     dtype: Any = None
 
     @nn.compact
-    def __call__(self, imgs, train: bool = False):
+    def __call__(self, imgs, train: bool = False, valid_hw=None):
+        """``valid_hw``: runtime (rows, cols) of the TRUE frames inside
+        width-bucketed zero-padded ``imgs`` (eval only)."""
         t1, b, h, w, _ = imgs.shape
         flat = imgs.reshape(t1 * b, h, w, imgs.shape[-1])
-        conv_out = self.encoder(flat, train=train)
-        clip_embs = PPMClip(self.num_class, self.fc_dim, dtype=self.dtype,
-                            name="decoder")(conv_out, train)
+        import contextlib
+        fv = None
+        feat_ctx = contextlib.nullcontext()
+        if valid_hw is not None:
+            from ..ops.masked import feature_valid, mask_interceptor
+            # trunk interceptor covers the stride pyramid; the decoder's
+            # pooled branches handle masking via valid_hw; the warp/head
+            # convs sit at the c5 resolution under a FEATURE-LEVEL
+            # interceptor (see warp_our.py)
+            with nn.intercept_methods(mask_interceptor(valid_hw, (h, w))):
+                conv_out = self.encoder(flat, train=train)
+            c5 = conv_out[-1]
+            fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, (h, w))
+            feat_ctx = nn.intercept_methods(
+                mask_interceptor(fv, c5.shape[1:3]))
+        else:
+            conv_out = self.encoder(flat, train=train)
+        clip_embs = PPMClip(self.num_class, self.fc_dim,
+                            dtype=self.dtype,
+                            name="decoder")(conv_out, train, valid_hw=fv)
         warp = WarpNetMerge(
             num_class=self.num_class, clip_num=t1,
-            max_distances=tuple(getattr(self.args, "max_distances", [10])),
+            max_distances=tuple(getattr(self.args, "max_distances",
+                                        [10])),
             distsoftmax=getattr(self.args, "distsoftmax", False),
             distnearest=getattr(self.args, "distnearest", False),
             temp=getattr(self.args, "temp", 3.0),
             dtype=self.dtype, name="prop_clip")
-        preds, emb, deepsup = warp(clip_embs, conv_out[-2], train)
+        with feat_ctx:
+            preds, emb, deepsup = warp(clip_embs, conv_out[-2], train,
+                                       feat_valid=fv)
 
-        head = Dropout2d(0.1, name="head_drop")(emb, train)
-        pred_s = Conv(self.num_class, 1, dtype=self.dtype,
-                      name="last_layer")(head)
+            head = Dropout2d(0.1, name="head_drop")(emb, train)
+            pred_s = Conv(self.num_class, 1, dtype=self.dtype,
+                          name="last_layer")(head)
         if train:
             return {"preds_c": preds, "pred_s": pred_s, "deepsup": deepsup}
         ps = pred_s.reshape(t1, b, *pred_s.shape[1:])

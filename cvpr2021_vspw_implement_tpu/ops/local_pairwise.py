@@ -15,18 +15,35 @@ y-windows for aggregation.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
 
-def local_pairwise_dist(x: jnp.ndarray, y: jnp.ndarray, r: int) -> jnp.ndarray:
-    """x, y: [B, H, W, C] → dists [B, H, W, k, k] (dy outer, dx inner)."""
+def local_pairwise_dist(x: jnp.ndarray, y: jnp.ndarray, r: int,
+                        valid_hw=None) -> jnp.ndarray:
+    """x, y: [B, H, W, C] → dists [B, H, W, k, k] (dy outer, dx inner).
+
+    ``valid_hw``: runtime (rows, cols) of the TRUE feature map inside a
+    width-bucketed zero-padded buffer — positions at-or-beyond the valid
+    size get |y|^2 = 1e20 and y = 0, exactly the out-of-bounds treatment
+    the unpadded run applies at its true boundary, so the cost volume on
+    the valid region is identical (incl. the argmax tie order the
+    ``distnearest`` quirk relies on)."""
     b, h, w, c = x.shape
     k = 2 * r + 1
     xf = x.astype(jnp.float32)
     yf = y.astype(jnp.float32)
+    if valid_hw is not None:
+        hv, wv = valid_hw
+        mh = jax.lax.broadcasted_iota(jnp.int32, (h, w), 0) < hv
+        mw = jax.lax.broadcasted_iota(jnp.int32, (h, w), 1) < wv
+        inb = (mh & mw)[None]
+        yf = jnp.where(inb[..., None], yf, 0.0)
     x2 = jnp.sum(jnp.square(xf), axis=-1)                     # [B, H, W]
     y2 = jnp.sum(jnp.square(yf), axis=-1)
+    if valid_hw is not None:
+        y2 = jnp.where(inb, y2, 1e20)
     y_pad = jnp.pad(yf, ((0, 0), (r, r), (r, r), (0, 0)))
     y2_pad = jnp.pad(y2, ((0, 0), (r, r), (r, r)), constant_values=1e20)
 

@@ -52,8 +52,9 @@ def build_eval_parser():
 
 #: decoder families with masked width-bucketed eval support; every encoder
 #: qualifies (hrnet's cross-resolution fusion upsamples are runtime-masked
-#: via resize_bilinear_rt, hrnet.py; hrnetv2_clip eval goes through
-#: test_clip's streaming path instead)
+#: via resize_bilinear_rt, hrnet.py).  hrnetv2_clip takes a (target, clip)
+#: input pair this per-frame driver cannot feed — its masked eval lives on
+#: SegmentationModuleClip(valid_hw=...) (models/hrnet_clip.py)
 BUCKETED_DECODERS = {"c1", "c1_deepsup", "ppm", "ppm_deepsup",
                      "upernet", "upernet_lite",
                      "ocrnet_deepsup", "deeplab", "nonlocal2d"}

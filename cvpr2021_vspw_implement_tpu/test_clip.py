@@ -208,33 +208,80 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             outs = model.apply(variables, imgs, train=False)
             return inference_pred(outs, imgs.shape[2:4])
 
-    if (getattr(args, "width_bucket", 0) and not use_memory
-            and args.method in ("ETC", "etc_ocr")):
-        # ETC inference is single-frame per-frame decode — the masked model
-        # path buckets it like test.py's per-frame eval (one compile per
-        # bucket across videos)
-        from .models.segmentation import inference_pred_rt
-        from .ops.masked import bucket_size, feature_valid, pad_to
-
-        @jax.jit
-        def _infer_bucketed(imgs, hv, wv):
-            outs = model.apply(variables, imgs, train=False,
-                               valid_hw=(hv, wv))
-            pad_hw = imgs.shape[2:4]
-            logit = outs[0]
-            fv = feature_valid(logit.shape[1], logit.shape[2], (hv, wv),
-                               pad_hw)
-            return inference_pred_rt(outs, pad_hw, fv, (hv, wv))
+    #: window-path methods whose model __call__ accepts runtime-valid
+    #: sizes — ALL of them (ops/masked.py); one compile per bucket,
+    #: predictions match the unpadded run on the valid region.
+    BUCKETED_WINDOW_METHODS = ("ETC", "etc_ocr", "clip_psp", "clip_ocr",
+                               "our_warp", "propnet", "our_warp_merge",
+                               "nonlocal3d")
+    if (getattr(args, "width_bucket", 0)
+            and args.method in BUCKETED_WINDOW_METHODS):
+        from .models.segmentation import (inference_pred_rt,
+                                          inference_probs_rt)
+        from .ops.masked import bucket_size, feature_valid
 
         _bk = args.width_bucket
 
-        def infer(imgs):  # noqa: F811 — bucketed override
-            t, b, h, w, _ = imgs.shape
-            key = (bucket_size(h, _bk), bucket_size(w, _bk))
-            imgp = jnp.pad(imgs, ((0, 0), (0, 0), (0, key[0] - h),
-                                  (0, key[1] - w), (0, 0)))
-            pred = _infer_bucketed(imgp, jnp.int32(h), jnp.int32(w))
-            return pred[:, :h, :w]
+        def _pad(imgs, key):
+            return jnp.pad(imgs, ((0, 0), (0, 0), (0, key[0] - imgs.shape[2]),
+                                  (0, key[1] - imgs.shape[3]), (0, 0)))
+
+        if use_memory:
+            # clip_ocr streaming-memory window path: the ring buffer is
+            # shape-independent, so it threads through unchanged
+            @jax.jit
+            def _infer_bucketed_mem(imgs, memory, hv, wv):
+                (outs,), new_mem = model.apply(variables, imgs, train=False,
+                                               memory=memory,
+                                               valid_hw=(hv, wv))
+                pad_hw = imgs.shape[2:4]
+                fv = feature_valid(outs.shape[1], outs.shape[2], (hv, wv),
+                                   pad_hw)
+                return (inference_pred_rt((outs,), pad_hw, fv, (hv, wv)),
+                        new_mem)
+
+            def infer(imgs, memory):  # noqa: F811 — bucketed override
+                t, b, h, w, _ = imgs.shape
+                key = (bucket_size(h, _bk), bucket_size(w, _bk))
+                pred, new_mem = _infer_bucketed_mem(
+                    _pad(imgs, key), memory, jnp.int32(h), jnp.int32(w))
+                return pred[:, :h, :w], new_mem
+        elif args.method == "nonlocal3d":
+            # test_all needs per-frame probabilities for window averaging
+            @jax.jit
+            def _infer_bucketed_probs(imgs, hv, wv):
+                outs = model.apply(variables, imgs, train=False,
+                                   valid_hw=(hv, wv))     # [T,B,h,w,K]
+                pad_hw = imgs.shape[2:4]
+                fv = feature_valid(outs.shape[2], outs.shape[3], (hv, wv),
+                                   pad_hw)
+                return jnp.stack([
+                    inference_probs_rt((outs[t],), pad_hw, fv, (hv, wv))
+                    for t in range(outs.shape[0])])
+
+            def infer(imgs):  # noqa: F811 — bucketed override
+                t, b, h, w, _ = imgs.shape
+                key = (bucket_size(h, _bk), bucket_size(w, _bk))
+                probs = _infer_bucketed_probs(_pad(imgs, key), jnp.int32(h),
+                                              jnp.int32(w))
+                return probs[:, :, :h, :w]
+        else:
+            @jax.jit
+            def _infer_bucketed(imgs, hv, wv):
+                outs = model.apply(variables, imgs, train=False,
+                                   valid_hw=(hv, wv))
+                pad_hw = imgs.shape[2:4]
+                logit = outs[0]
+                fv = feature_valid(logit.shape[1], logit.shape[2], (hv, wv),
+                                   pad_hw)
+                return inference_pred_rt(outs, pad_hw, fv, (hv, wv))
+
+            def infer(imgs):  # noqa: F811 — bucketed override
+                t, b, h, w, _ = imgs.shape
+                key = (bucket_size(h, _bk), bucket_size(w, _bk))
+                pred = _infer_bucketed(_pad(imgs, key), jnp.int32(h),
+                                       jnp.int32(w))
+                return pred[:, :h, :w]
 
     ds_cls = TestLongClipDataset if args.method in LONGCLIP_METHODS \
         else TestClipDataset
