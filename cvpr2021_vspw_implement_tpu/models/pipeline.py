@@ -109,10 +109,21 @@ class PipelinedBlocks(nn.Module):
       forward saves ONLY the section inputs; the backward interleaves a
       stage-recompute wave (down) with the cotangent wave (up), exactly a
       1F1B wavefront, so at most ``2P`` microbatch-sized ring slots are
-      live per stage — peak activation memory O(P²·mb), independent of M.
-      Costs one extra forward recompute of the section (the same trade as
-      block remat).  Losses and grads are bit-compatible with "gpipe"
-      (same per-microbatch BN semantics; sums reassociated).
+      live per stage — the SCHEDULE's activation footprint is O(P²·mb),
+      independent of M.  Costs one extra forward recompute of the section
+      (the same trade as block remat).  Losses and grads are
+      bit-compatible with "gpipe" (same per-microbatch BN semantics; sums
+      reassociated).
+
+      MEASURED CAVEAT (round 4, TPU v5e, R101 tail, 129², P=2,
+      stage-stacked single chip — ROADMAP "Pipeline measurements /
+      round-4 TPU"): XLA's compiled temp-bytes for 1f1b come out only
+      0.7% (M=4) / 4.0% (M=8) BELOW gpipe, not the structural O(M)->O(P)
+      win the schedule admits — XLA already rematerializes/overlaps
+      enough of the gpipe backward that the binding memory term is NOT
+      the stage-boundary ring at this scale.  Treat 1f1b as a proven-
+      equivalent alternative schedule, not a memory lever, until a
+      multi-chip profile shows otherwise.
     """
 
     block: type
