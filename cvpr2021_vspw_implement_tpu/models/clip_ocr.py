@@ -86,14 +86,19 @@ class ClipOCRNet(nn.Module):
         padded pixels (ops/masked.py), so the context equals the unpadded
         run's and the feature map is zero beyond its valid size."""
         if valid_hw is not None:
-            from ..ops.masked import feature_valid, mask_interceptor
+            from ..ops.masked import (feature_valid, mask_valid,
+                                      masked_trunk)
             pad_hw = img.shape[1:3]
-            with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+            with masked_trunk(valid_hw, pad_hw):
                 conv_out = self.encoder(img, train=train)
                 x_dsn = self._dsn(conv_out[-2], train)
                 feat = self._feat(conv_out[-1], train)
             fv = feature_valid(feat.shape[1], feat.shape[2], valid_hw,
                                pad_hw)
+            # re-zero the cached map (spatial-conv-input interceptor
+            # leaves module outputs unmasked; the streaming cache contract
+            # is zeros beyond the valid extent)
+            feat = mask_valid(feat, fv)
             return feat, spatial_gather(feat, x_dsn, valid=fv)
         conv_out = self.encoder(img, train=train)
         x_dsn = self._dsn(conv_out[-2], train)
@@ -121,13 +126,15 @@ class ClipOCRNet(nn.Module):
         flat = imgs.reshape(t1 * b, h, w, imgs.shape[-1])
         fv = None
         if valid_hw is not None:
-            from ..ops.masked import feature_valid, mask_interceptor
-            with nn.intercept_methods(mask_interceptor(valid_hw, (h, w))):
+            from ..ops.masked import (feature_valid, mask_valid,
+                                      masked_trunk)
+            with masked_trunk(valid_hw, (h, w)):
                 conv_out = self.encoder(flat, train=train)
                 x_dsn = self._dsn(conv_out[-2], train)
                 feat = self._feat(conv_out[-1], train)
             fv = feature_valid(feat.shape[1], feat.shape[2], valid_hw,
                                (h, w))
+            feat = mask_valid(feat, fv)
         else:
             conv_out = self.encoder(flat, train=train)
             # DSN over all frames (reference: clip_ocr.py:120)

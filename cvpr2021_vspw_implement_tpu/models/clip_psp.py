@@ -119,10 +119,10 @@ class ClipPSP(nn.Module):
         only (ops/masked.py); the pooled stats equal the unpadded run's."""
         if valid_hw is not None:
             from ..ops.masked import (adaptive_avg_pool2d_rt, feature_valid,
-                                      global_avg_pool_rt, mask_interceptor,
-                                      mask_valid)
+                                      global_avg_pool_rt, mask_valid,
+                                      masked_trunk)
             pad_hw = img.shape[1:3]
-            with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+            with masked_trunk(valid_hw, pad_hw):
                 conv_out = self.encoder(img, train=train)
             c5 = conv_out[-1]
             fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, pad_hw)
@@ -158,10 +158,10 @@ class ClipPSP(nn.Module):
         fv = None
         if valid_hw is not None:
             from ..ops.masked import (adaptive_avg_pool2d_rt, feature_valid,
-                                      global_avg_pool_rt, mask_interceptor,
-                                      mask_valid)
+                                      global_avg_pool_rt, mask_valid,
+                                      masked_trunk)
             pad_hw = (h, w)
-            with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+            with masked_trunk(valid_hw, pad_hw):
                 conv_out = self.encoder(flat, train=train)
             c5 = conv_out[-1]
             fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, pad_hw)

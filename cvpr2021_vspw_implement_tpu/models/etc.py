@@ -72,11 +72,16 @@ class ETC(nn.Module):
         target = imgs[-1]
         if not train:
             if valid_hw is not None:
-                from ..ops.masked import feature_valid, mask_interceptor
+                from ..ops.masked import (feature_valid, mask_valid,
+                                          masked_trunk)
                 pad_hw = target.shape[1:3]
-                with nn.intercept_methods(
-                        mask_interceptor(valid_hw, pad_hw)):
+                with masked_trunk(valid_hw, pad_hw):
                     conv_out = self.encoder(target, train=False)
+                # spatial-conv-input interceptor leaves trunk outputs
+                # unmasked — re-zero the levels the decoder convs read
+                conv_out = [mask_valid(x, feature_valid(
+                    x.shape[1], x.shape[2], valid_hw, pad_hw))
+                    for x in conv_out]
                 c5 = conv_out[-1]
                 fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw,
                                    pad_hw)

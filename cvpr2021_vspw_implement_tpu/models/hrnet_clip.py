@@ -78,8 +78,9 @@ class HRNetV2Clip(nn.Module):
         flat = clip_imgs.reshape(t * b, *clip_imgs.shape[2:])
         pad_hw = c_img.shape[1:3]
         if valid_hw is not None:
-            from ..ops.masked import feature_valid, mask_interceptor
-            ctx = nn.intercept_methods(mask_interceptor(valid_hw, pad_hw))
+            from ..ops.masked import (feature_valid, mask_valid,
+                                      masked_trunk)
+            ctx = masked_trunk(valid_hw, pad_hw)
         else:
             import contextlib
             ctx = contextlib.nullcontext()
@@ -97,6 +98,12 @@ class HRNetV2Clip(nn.Module):
             out = HRNetStages(dtype=self.dtype, name="stages")(
                 x, train, valid_hw=valid_hw,
                 pad_hw=pad_hw if valid_hw is not None else None)
+        if valid_hw is not None:
+            # trunk outputs are unmasked under the spatial-conv-input
+            # interceptor — the decoder's masked path expects zeros beyond
+            # the valid extent
+            out = mask_valid(out, feature_valid(out.shape[1], out.shape[2],
+                                                valid_hw, pad_hw))
         return [out]
 
 

@@ -145,8 +145,7 @@ class NetWarp(nn.Module):
         reference's exact padded geometry — RAFT runs masked to the
         /8-aligned (H8, W8) extent, and the flow is rolled back before the
         FlowCNN refiner (reference: netwarp.py:169-195)."""
-        from flax import linen as nn
-        from ..ops.masked import mask_interceptor, mask_valid
+        from ..ops.masked import mask_valid, masked_trunk
         hv, wv = valid_hw
         hv = jnp.asarray(hv, jnp.int32)
         wv = jnp.asarray(wv, jnp.int32)
@@ -164,8 +163,11 @@ class NetWarp(nn.Module):
                             test_mode=True, valid_hw=(h8, w8))
         flow = jax.lax.stop_gradient(
             mask_valid(roll(flow, -top, -left), (hv, wv)))
-        with nn.intercept_methods(mask_interceptor((hv, wv), pad_hw)):
-            return self.flowcnn(c_img_f, c_pre_f, flow, train)
+        with masked_trunk((hv, wv), pad_hw):
+            refined = self.flowcnn(c_img_f, c_pre_f, flow, train)
+        # spatial-conv-input interceptor leaves the refiner's final conv
+        # output unmasked — cached/warped flow must be zero beyond valid
+        return mask_valid(refined, (hv, wv))
 
     def _decode_feats(self, conv_out, train, feat_valid=None):
         """Decoder features that get flow-blended: ppm_out (plain) or the
@@ -197,11 +199,17 @@ class NetWarp(nn.Module):
         ``img`` — trunk under the mask interceptor, decoder on its masked
         path; all cached maps are zero beyond their valid extents."""
         if valid_hw is not None:
-            from flax import linen as nn
-            from ..ops.masked import feature_valid, mask_interceptor
+            from ..ops.masked import (feature_valid, mask_valid,
+                                      masked_trunk)
             pad_hw = img.shape[1:3]
-            with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+            with masked_trunk(valid_hw, pad_hw):
                 conv_out = self.encoder(img, train=train)
+            # re-zero trunk outputs (unmasked under the spatial-conv-input
+            # interceptor) — the decoders' masked paths and the streaming
+            # cache both assume zero beyond the valid extents
+            conv_out = [mask_valid(x, feature_valid(
+                x.shape[1], x.shape[2], valid_hw, pad_hw))
+                for x in conv_out]
             c5 = conv_out[-1]
             fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, pad_hw)
             feats, _ = self._decode_feats(conv_out, train, feat_valid=fv)

@@ -43,9 +43,9 @@ class NonLocal3D(nn.Module):
         flat = imgs.reshape(t * b, h, w, imgs.shape[-1])
         vm3 = None
         if valid_hw is not None:
-            from ..ops.masked import (feature_valid, mask_interceptor,
-                                      mask_valid)
-            with nn.intercept_methods(mask_interceptor(valid_hw, (h, w))):
+            from ..ops.masked import (feature_valid, mask_valid,
+                                      masked_trunk)
+            with masked_trunk(valid_hw, (h, w)):
                 conv_out = self.encoder(flat, train=train)
                 emb = Conv(256, 1, dtype=self.dtype,
                            name="emb")(conv_out[-1])

@@ -201,6 +201,15 @@ class RAFT(nn.Module):
             all_flows = None
 
         flow_low = coords1 - coords0
+        if valid_hw is not None:
+            # padded-position flow is garbage under the spatial-conv-input
+            # interceptor; the convex upsampler's 3x3 neighbor taps at the
+            # valid boundary must read zeros (== the unpadded run's
+            # zero-padded unfold)
+            from ...ops.masked import feature_valid, mask_valid
+            lv = feature_valid(flow_low.shape[1], flow_low.shape[2],
+                               valid_hw, (image1.shape[1], image1.shape[2]))
+            flow_low = mask_valid(flow_low, lv)
         if up_mask is not None:
             flow_up = upsample_flow_convex(flow_low,
                                            up_mask.astype(jnp.float32))

@@ -101,6 +101,11 @@ class SepConvGRU(nn.Module):
         # the scan carry type is stable and the blend accumulates in f32
         cdt = self.dtype or x.dtype
         xc = x.astype(cdt)
+        if fv is not None:
+            # x (motion features + context) is unmasked under the
+            # spatial-conv-input interceptor — its padded-position garbage
+            # would leak through the 5-tap gate convs just like h's
+            xc = mask_valid(xc, fv)
         for axis, (kh, kw) in enumerate([(1, 5), (5, 1)]):
             kshape = (kh, kw, cin, hd)
             kz, bz = ConvParams(kshape, name=f"convz{axis + 1}")()

@@ -37,15 +37,21 @@ class SegmentationModule(nn.Module):
         if valid_hw is None:
             conv_out = self.encoder(img, train=train)
             return self.decoder(conv_out, train=train)
-        from ..ops.masked import feature_valid, mask_interceptor
+        from ..ops.masked import (feature_valid, mask_valid, masked_trunk)
         pad_hw = img.shape[1:3]
         from .hrnet import HRNetV2
         enc_kwargs = {}
         if isinstance(self.encoder, HRNetV2):
             # hrnet's cross-resolution fusion upsamples need runtime sizes
             enc_kwargs = dict(valid_hw=valid_hw, pad_hw=pad_hw)
-        with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+        with masked_trunk(valid_hw, pad_hw):
             conv_out = self.encoder(img, train=train, **enc_kwargs)
+        # trunk outputs are NOT pre-masked under the spatial-conv-input
+        # interceptor (ops/masked.py) — re-zero every level the decoders
+        # feed to their own (un-intercepted) spatial convs
+        conv_out = [mask_valid(x, feature_valid(x.shape[1], x.shape[2],
+                                                valid_hw, pad_hw))
+                    for x in conv_out]
         from .decoders import UPerNet
         from .deeplab import DeepLab
         if isinstance(self.decoder, (UPerNet, DeepLab)):

@@ -315,13 +315,16 @@ class TD4PSP(nn.Module):
         fv = tok_valid = None
         if valid_hw is not None:
             from flax import linen as fnn
-            from ..ops.masked import (ceil_div, feature_valid,
-                                      mask_interceptor, mask_valid)
+            from ..ops.masked import (ceil_div, feature_valid, mask_valid,
+                                      masked_trunk)
             pad_hw = img.shape[1:3]
-            with fnn.intercept_methods(mask_interceptor(valid_hw, pad_hw)):
+            with masked_trunk(valid_hw, pad_hw):
                 conv_out = self.paths[p](img, train=False)
             c5 = conv_out[-1]
             fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, pad_hw)
+            # trunk outputs are unmasked under the spatial-conv-input
+            # interceptor — re-zero before the sliced PSP / token encoders
+            c5 = mask_valid(c5, fv)
             z = self.psps[p](c5, False, valid=fv)
             th, tw = -(-c5.shape[1] // 3), -(-c5.shape[2] // 3)
             ti = jax.lax.broadcasted_iota(jnp.int32, (th, tw), 0)

@@ -169,12 +169,18 @@ class ClipWarpNet(nn.Module):
         fv = None
         feat_ctx = contextlib.nullcontext()
         if valid_hw is not None:
-            from ..ops.masked import feature_valid, mask_interceptor
+            from ..ops.masked import (feature_valid, mask_interceptor,
+                                      mask_valid, masked_trunk)
             # interceptor covers the STRIDE-PYRAMID trunk only — the
             # decoder's pooled-branch convs (1/2/3/6 maps) do not follow
             # the input ratio rule and handle masking via valid_hw
-            with nn.intercept_methods(mask_interceptor(valid_hw, (h, w))):
+            with masked_trunk(valid_hw, (h, w)):
                 conv_out = self.encoder(flat, train=enc_dec_train)
+            # re-zero trunk outputs (unmasked under the spatial-conv-input
+            # interceptor) before the un-intercepted decoder convs
+            conv_out = [mask_valid(x, feature_valid(
+                x.shape[1], x.shape[2], valid_hw, (h, w)))
+                for x in conv_out]
             c5 = conv_out[-1]
             fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, (h, w))
             # the warp head's convs all sit at the c5 resolution: a

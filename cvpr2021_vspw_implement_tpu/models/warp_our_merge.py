@@ -105,13 +105,17 @@ class OurWarpMerge(nn.Module):
         fv = None
         feat_ctx = contextlib.nullcontext()
         if valid_hw is not None:
-            from ..ops.masked import feature_valid, mask_interceptor
+            from ..ops.masked import (feature_valid, mask_interceptor,
+                                      mask_valid, masked_trunk)
             # trunk interceptor covers the stride pyramid; the decoder's
             # pooled branches handle masking via valid_hw; the warp/head
             # convs sit at the c5 resolution under a FEATURE-LEVEL
             # interceptor (see warp_our.py)
-            with nn.intercept_methods(mask_interceptor(valid_hw, (h, w))):
+            with masked_trunk(valid_hw, (h, w)):
                 conv_out = self.encoder(flat, train=train)
+            conv_out = [mask_valid(x, feature_valid(
+                x.shape[1], x.shape[2], valid_hw, (h, w)))
+                for x in conv_out]
             c5 = conv_out[-1]
             fv = feature_valid(c5.shape[1], c5.shape[2], valid_hw, (h, w))
             feat_ctx = nn.intercept_methods(

@@ -12,10 +12,18 @@ Exactness argument (tests/test_masked_eval.py proves it end to end):
   * convs: if the padded cols/rows of the INPUT are zero, a zero-padding
     conv's output on the valid region equals the unpadded run's output
     (the taps that reach padded cols read zeros — exactly what SAME
-    padding would have supplied at the true boundary).  Re-zeroing after
-    every Conv/BatchNorm (whose affine shifts zeros) maintains the
-    invariant; ``mask_interceptor`` does this via flax's method
-    interception, so NO model code changes are needed for the trunk.
+    padding would have supplied at the true boundary).  Only SPATIAL
+    (kernel > 1x1) ops can carry padded-region garbage into the valid
+    region; BatchNorm's affine, relu, residual adds and 1x1 convs are
+    pointwise, so their padded-region garbage is harmless until the next
+    spatial conv re-zeros its input.  ``mask_interceptor`` re-zeros
+    exactly there (spatial-conv INPUTS) via flax's method interception —
+    measured 4x cheaper than masking every Conv/BN boundary because in a
+    bottleneck trunk only the narrow ``planes`` tensor needs the extra
+    HBM pass (tools/interceptor_micro.py).  Consequences: bare spatial
+    functions re-zero their own input via ``current_mask`` (use
+    :func:`masked_trunk`), and trunk OUTPUTS are unmasked — call sites
+    ``mask_valid`` the levels they feed to non-``*_rt`` consumers.
   * valid sizes at any feature map follow the ratio rule
     ceil(valid_in * size_feat / size_pad) — exact for the stride
     pyramid as long as the bucket is a multiple of the total stride
@@ -141,27 +149,54 @@ def global_avg_pool_rt(x: jnp.ndarray, in_valid_hw,
     return (s / area).astype(x.dtype)
 
 
-#: modules whose input AND output are re-zeroed on the padded region.
-#: Convs are the spatial mixers; BatchNorm's affine shifts zeros to
-#: nonzero garbage that would otherwise leak through relu into the stem
-#: maxpool (max of non-negative values, where masked zeros == the real
-#: -inf edge padding) at odd valid widths.  Masking every module boundary
-#: keeps the valid region exact no matter what elementwise/pool functions
-#: run in between.  Matching by class name avoids an import cycle with
-#: models.layers.
-_MASKED_MODULE_NAMES = frozenset({"Conv", "_Conv", "ConvLocal",
-                                  "BatchNorm2d", "BatchNorm"})
+#: conv module class names matched by the interceptor (by name to avoid
+#: an import cycle with models.layers).
+_CONV_MODULE_NAMES = frozenset({"Conv", "_Conv", "ConvLocal"})
+
+
+def _spatial_kernel(module) -> bool:
+    """True if the conv module mixes across H/W (any kernel dim > 1).
+
+    1x1 convs are pointwise: garbage in the padded region propagates
+    pointwise and never crosses into the valid region, so their inputs
+    need no re-zeroing.  Unknown kernel attrs are treated as spatial."""
+    k = getattr(module, "kernel_size", None)
+    if k is None:
+        return True
+    if isinstance(k, int):
+        return k > 1
+    try:
+        return any(int(s) > 1 for s in k)
+    except TypeError:
+        return True
 
 
 def mask_interceptor(valid_hw, pad_hw):
     """flax ``intercept_methods`` interceptor that re-zeros the padded
-    region at every Conv/BatchNorm boundary (input and output), keeping
-    the zero-padding invariant through an arbitrary conv trunk with NO
-    model changes.  Trunk outputs are already masked; consumers still
-    ``mask_valid`` explicitly before global ops for modules that end on a
-    bare function.
+    region on the INPUT of every SPATIAL (kernel > 1x1) conv — the
+    minimal invariant for bit-exact valid-region outputs.
 
-    Use:  ``with nn.intercept_methods(mask_interceptor(vhw, phw)): ...``
+    Why inputs-of-spatial-convs only (measured on v5e, resnet101dilated
+    encode @ 512x896, tools/interceptor_micro.py): any mask op on a big
+    activation costs a full HBM pass (~bytes-proportional; XLA does not
+    fuse it into the conv) — masking every Conv/BatchNorm boundary cost
+    +88% (4.93 -> 9.29 ms/frame) because it re-zeroed every BN output
+    including the wide 4*planes bottleneck tensors.  Only spatial convs
+    can smear padded-region garbage into the valid region; BatchNorm's
+    affine, relu, residual adds and 1x1 convs are all pointwise, so
+    their padded-region garbage is harmless until the next spatial conv
+    re-masks its input.  In a bottleneck trunk that means masking only
+    the narrow ``planes``-channel tensor (1 of 3 BN boundaries, the
+    smallest), ~4x fewer bytes.
+
+    Two consequences for callers (use :func:`masked_trunk`, which layers
+    the companion ``mask_context``):
+      * bare spatial functions (the ResNet stem maxpool) re-zero their
+        own input via ``current_mask()``;
+      * trunk OUTPUTS are no longer pre-masked — consumers must
+        ``mask_valid`` any level they feed to non-masked ops (the
+        ``*_rt`` pool/resize matrices read only valid rows/cols and need
+        no pre-mask).
     """
     def _mask(x):
         if isinstance(x, jnp.ndarray) and x.ndim == 4:
@@ -170,12 +205,13 @@ def mask_interceptor(valid_hw, pad_hw):
         return x
 
     def interceptor(next_fun, args, kwargs, context):
-        if (type(context.module).__name__ not in _MASKED_MODULE_NAMES
-                or context.method_name != "__call__"):
+        if (type(context.module).__name__ not in _CONV_MODULE_NAMES
+                or context.method_name != "__call__"
+                or not _spatial_kernel(context.module)):
             return next_fun(*args, **kwargs)
         if args:
             args = (_mask(args[0]),) + args[1:]
-        return _mask(next_fun(*args, **kwargs))
+        return next_fun(*args, **kwargs)
 
     return interceptor
 
@@ -201,6 +237,18 @@ def mask_context(valid_hw, pad_hw):
 def current_mask():
     """(valid_hw, pad_hw) of the enclosing ``mask_context``, or None."""
     return _MASK_CTX.get()
+
+
+@contextlib.contextmanager
+def masked_trunk(valid_hw, pad_hw):
+    """Run a conv trunk width-bucketed: the spatial-conv-input
+    ``mask_interceptor`` plus ``mask_context`` so bare spatial functions
+    (stem maxpool, fused GRU convs, InstanceNorm) can re-zero / derive
+    runtime-valid sizes themselves."""
+    import flax.linen as nn
+    with nn.intercept_methods(mask_interceptor(valid_hw, pad_hw)), \
+            mask_context(valid_hw, pad_hw):
+        yield
 
 
 def _nearest_weights_rt(in_pad: int, out_pad: int, in_valid,

@@ -47,8 +47,20 @@ def global_avg_pool(x: jnp.ndarray, keepdims: bool = True) -> jnp.ndarray:
 
 
 def max_pool_3x3_s2_p1(x: jnp.ndarray) -> jnp.ndarray:
-    """MaxPool2d(kernel=3, stride=2, padding=1) — the ResNet stem pool."""
+    """MaxPool2d(kernel=3, stride=2, padding=1) — the ResNet stem pool.
+
+    Under an active width-bucket ``mask_context`` (ops/masked.py) the
+    input's padded region is re-zeroed first: the pool is spatial, and
+    the spatial-conv-input interceptor does not cover bare functions.
+    Inputs are post-relu (non-negative), so zeros in the padded region
+    reproduce the -inf edge padding of the unpadded run exactly."""
     import jax
+    from .masked import current_mask, feature_valid, mask_valid
+    ctx = current_mask()
+    if ctx is not None:
+        (vh, vw), (ph, pw) = ctx
+        x = mask_valid(x, feature_valid(x.shape[1], x.shape[2],
+                                        (vh, vw), (ph, pw)))
     return jax.lax.reduce_window(
         x, -jnp.inf if jnp.issubdtype(x.dtype, jnp.floating) else jnp.iinfo(x.dtype).min,
         jax.lax.max,

@@ -80,7 +80,8 @@ def test_interceptor_keeps_resnet_trunk_exact():
 
     pad_hw = (96, 128)
     imgp = pad_to(img, pad_hw)
-    with nn.intercept_methods(mask_interceptor((h, w), pad_hw)):
+    from cvpr2021_vspw_implement_tpu.ops.masked import masked_trunk
+    with masked_trunk((h, w), pad_hw):
         gotp = enc.apply(variables, imgp, train=False)[-1]
     hf, wf = gotp.shape[1:3]
     hv, wv = feature_valid(hf, wf, (h, w), pad_hw)
