@@ -94,7 +94,13 @@ class BatchNorm2d(nn.Module):
             if self.axis_name is not None:
                 mean = jax.lax.pmean(mean, self.axis_name)
                 mean_sq = jax.lax.pmean(mean_sq, self.axis_name)
-            var = mean_sq - jnp.square(mean)
+            # single-pass E[x^2]-E[x]^2 keeps sharded BN at one all-reduce,
+            # but f32 cancellation can go slightly NEGATIVE when a channel's
+            # (bf16-quantized) activations are near-constant with |mean|>>std
+            # — then rsqrt(var+eps) is NaN.  Torch's two-pass variance is
+            # nonnegative by construction; clamp to match (observed: bf16
+            # 479^2 flagship train NaN'd at step 64, tools/bf16_drift.py).
+            var = jnp.maximum(mean_sq - jnp.square(mean), 0.0)
             n = x.shape[0] * x.shape[1] * x.shape[2]
             if self.axis_name is not None:
                 n = n * jax.lax.psum(1, self.axis_name)

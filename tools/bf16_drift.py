@@ -33,6 +33,9 @@ def main():
     ap.add_argument("--clip_num", type=int, default=4,
                     help="context frames + 1 target (flagship recipe: 4)")
     ap.add_argument("--num_class", type=int, default=124)
+    ap.add_argument("--dtype", choices=["both", "bf16", "f32"],
+                    default="both",
+                    help="run only one side (trace hunting) or both (drift)")
     args = ap.parse_args()
 
     import jax
@@ -91,8 +94,17 @@ def main():
         for i in range(args.steps):
             state, metrics = step_fn(state, pool[i % len(pool)], key)
             losses.append(float(metrics["loss"]))
+            if not np.isfinite(losses[-1]):
+                print(f"step {i}: loss {losses[-1]} (first non-finite; "
+                      f"prev {losses[-6:-1]})", file=sys.stderr, flush=True)
         wall = time.perf_counter() - t0
+        print("loss trace:", " ".join(f"{l:.4f}" for l in losses),
+              file=sys.stderr, flush=True)
         return np.asarray(losses), state, wall
+
+    if args.dtype != "both":
+        run(model_bf16 if args.dtype == "bf16" else model_f32)
+        return
 
     loss_f32, state_f32, wall_f32 = run(model_f32)
     loss_bf16, state_bf16, wall_bf16 = run(model_bf16)
