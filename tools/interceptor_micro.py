@@ -61,7 +61,30 @@ def make_variant(valid_hw, pad_hw, which):
         cols = cols * mcol[None, None, :, None]
         return jax.lax.concatenate([x[:, :, :wf - bw], cols], 2)
 
-    maskers = {"iota": _mask_iota, "vec": _mask_vec, "band": _mask_band}
+    def _mask_dus(x):
+        # same full-pad-region re-zero as _mask_iota, but expressed as a
+        # STATIC band slice + where + dynamic_update_slice at a static
+        # start: bucket pads are < 64 input px, so the last bh rows / bw
+        # cols contain EVERY invalid position; DUS can alias the (dead)
+        # operand buffer in place, touching only band bytes instead of
+        # rewriting 100% of the tensor to change <15% of it
+        hf, wf = x.shape[1], x.shape[2]
+        hv, wv = feature_valid(hf, wf, valid_hw, pad_hw)
+        bh = min(hf, max(1, (64 * hf) // pad_hw[0] + 1))
+        bw = min(wf, max(1, (64 * wf) // pad_hw[1] + 1))
+        rows = x[:, hf - bh:, :, :]
+        ridx = jax.lax.broadcasted_iota(jnp.int32, (bh,), 0) + (hf - bh)
+        rows = jnp.where((ridx < hv)[None, :, None, None], rows,
+                         jnp.zeros((), x.dtype))
+        x = jax.lax.dynamic_update_slice_in_dim(x, rows, hf - bh, axis=1)
+        cols = x[:, :, wf - bw:, :]
+        cidx = jax.lax.broadcasted_iota(jnp.int32, (bw,), 0) + (wf - bw)
+        cols = jnp.where((cidx < wv)[None, None, :, None], cols,
+                         jnp.zeros((), x.dtype))
+        return jax.lax.dynamic_update_slice_in_dim(x, cols, wf - bw, axis=2)
+
+    maskers = {"iota": _mask_iota, "vec": _mask_vec, "band": _mask_band,
+               "dus": _mask_dus}
 
     def _mask(x):
         if isinstance(x, jnp.ndarray) and x.ndim == 4:
@@ -73,10 +96,19 @@ def make_variant(valid_hw, pad_hw, which):
     conv_names = {"Conv", "_Conv", "ConvLocal"}
     bn_names = {"BatchNorm2d", "BatchNorm"}
 
+    from cvpr2021_vspw_implement_tpu.ops.masked import _spatial_kernel
+
     def interceptor(next_fun, args, kwargs, context):
         name = type(context.module).__name__
         if (name not in conv_names and name not in bn_names) \
                 or context.method_name != "__call__":
+            return next_fun(*args, **kwargs)
+        if which.startswith("spatial"):
+            # replicate the PRODUCTION ops/masked.mask_interceptor policy
+            # (inputs of kernel>1 convs only) with a selectable masker
+            if (name in conv_names and _spatial_kernel(context.module)
+                    and args):
+                args = (_mask(args[0]),) + args[1:]
             return next_fun(*args, **kwargs)
         mask_in = which == "inout"
         mask_out = which in ("inout", "out") or which.startswith("out_") \
@@ -131,7 +163,10 @@ def main():
 
     out = {"metric": "interceptor_variants", "unit": "ms/frame",
            "shape": f"{hp}x{wp}"}
-    for which in ("none", "bn_iota", "bn_vec", "bn_band", "out_vec"):
+    import sys as _sys
+    variants = _sys.argv[1:] or ("none", "bn_iota", "bn_vec", "bn_band",
+                                 "out_vec")
+    for which in variants:
         fn = encode(which)
         float(fn(frames, hv, wv))
         best = float("inf")
