@@ -83,8 +83,19 @@ def make_variant(valid_hw, pad_hw, which):
                          jnp.zeros((), x.dtype))
         return jax.lax.dynamic_update_slice_in_dim(x, cols, wf - bw, axis=2)
 
+    def _mask_pallas(x):
+        # in-place band re-zero via the aliased pallas kernel; small-C /
+        # unaligned tensors fall back to the fused where()
+        from cvpr2021_vspw_implement_tpu.ops.pallas.band_zero import (
+            band_zero_inplace)
+        hf, wf = x.shape[1], x.shape[2]
+        hv, wv = feature_valid(hf, wf, valid_hw, pad_hw)
+        if x.shape[-1] < 128 or wf % 8:
+            return mask_valid(x, (hv, wv))
+        return band_zero_inplace(x, hv, wv, pad_hw)
+
     maskers = {"iota": _mask_iota, "vec": _mask_vec, "band": _mask_band,
-               "dus": _mask_dus}
+               "dus": _mask_dus, "pallas": _mask_pallas}
 
     def _mask(x):
         if isinstance(x, jnp.ndarray) and x.ndim == 4:
