@@ -553,7 +553,10 @@ def main():
         blocks = frames.reshape(N // 4, 4, *frames.shape[1:])
         float(run_td(blocks, st0))
         times = []
-        for _trial in range(3):
+        # 5 trials, not 3: BENCH_r04_dev1 recorded a 20.6% cross-trial
+        # spread on this row (the shortest on-device program here, so
+        # tunnel jitter weighs most); extra trials tighten min-of-N
+        for _trial in range(5):
             start = time.perf_counter()
             float(run_td(blocks, st0))
             times.append(time.perf_counter() - start)
