@@ -200,9 +200,9 @@ def main():
     try:
         from cvpr2021_vspw_implement_tpu.models.segmentation import (
             inference_pred_rt)
-        from cvpr2021_vspw_implement_tpu.ops.masked import (bucket_size,
+        from cvpr2021_vspw_implement_tpu.ops.masked import (bucket_hw,
                                                             feature_valid)
-        hp, wp = bucket_size(h), bucket_size(w)
+        hp, wp = bucket_hw(h, w)
         frames_p = jnp.pad(frames, ((0, 0), (0, 0), (0, hp - h),
                                     (0, wp - w), (0, 0)))
 
@@ -474,9 +474,9 @@ def main():
         # bucketed masked streaming (production eval path, see 1c)
         from cvpr2021_vspw_implement_tpu.models.segmentation import (
             inference_pred_rt)
-        from cvpr2021_vspw_implement_tpu.ops.masked import (bucket_size,
+        from cvpr2021_vspw_implement_tpu.ops.masked import (bucket_hw,
                                                             feature_valid)
-        hp, wp = bucket_size(h), bucket_size(w)
+        hp, wp = bucket_hw(h, w)
         frames_p = jnp.pad(frames, ((0, 0), (0, 0), (0, hp - h),
                                     (0, wp - w), (0, 0)))
 
@@ -579,8 +579,8 @@ def main():
 
         # bucketed masked streaming at PRODUCTION scan scale (the
         # full N=64 stack, not a verification-sized slice)
-        from cvpr2021_vspw_implement_tpu.ops.masked import bucket_size
-        hp, wp = bucket_size(h), bucket_size(w)
+        from cvpr2021_vspw_implement_tpu.ops.masked import bucket_hw
+        hp, wp = bucket_hw(h, w)
         fhp, fwp = os8(hp), os8(wp)
         tokens_p = (-(-fhp // 3)) * (-(-fwp // 3))
         frames_p = jnp.pad(frames, ((0, 0), (0, 0), (0, hp - h),

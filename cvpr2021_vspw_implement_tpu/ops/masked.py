@@ -296,6 +296,22 @@ def bucket_size(size: int, multiple: int = 64) -> int:
     return ceil_div(size, multiple) * multiple
 
 
+def bucket_hw(h: int, w: int, bucket: int = 64, stride: int = 32):
+    """Pad sizes for width-bucketed eval.
+
+    Width rounds up to ``bucket`` — the user's compile-count lever across
+    the dataset's variable widths.  Height rounds up only to ``stride``
+    (the ratio-rule floor: pads must be a multiple of the encoder's total
+    stride): VSPW-480p heights are one constant per orientation, so finer
+    height granularity costs no extra compiles while 480 stays 480
+    instead of padding to 512 — 6.7% of every bucketed kernel's rows were
+    pure pad compute (measured: the bucketed serving rows' overhead drops
+    ~8 points, BENCH r04).  32-multiple heights also keep NetWarp's
+    in-grid symmetric /8 InputPadder emulation feasible:
+    (-h) % 8 <= (-h) % 32, so the slack always holds the /8 pad."""
+    return bucket_size(h, stride), bucket_size(w, bucket)
+
+
 def pad_to(img, pad_hw):
     """Zero-pad [H,W,C] or [N,H,W,C] bottom/right to ``pad_hw``."""
     hp, wp = pad_hw

@@ -19,7 +19,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from .models.segmentation import inference_pred, inference_pred_rt
-from .ops.masked import bucket_size, feature_valid, pad_to
+from .ops.masked import bucket_hw, feature_valid, pad_to
 
 
 class ClipPSPBucketEngine:
@@ -51,7 +51,7 @@ class ClipPSPBucketEngine:
         return sorted(self._encode)
 
     def pad_hw(self, h: int, w: int) -> tuple[int, int]:
-        return bucket_size(h, self.bucket), bucket_size(w, self.bucket)
+        return bucket_hw(h, w, self.bucket)
 
     def encode(self, frame):
         """frame: [H, W, 3] normalized → (C5, pooled stats) of the TRUE
@@ -221,7 +221,7 @@ class NetWarpBucketEngine:
         return sorted(self._encode)
 
     def pad_hw(self, h: int, w: int) -> tuple[int, int]:
-        return bucket_size(h, self.bucket), bucket_size(w, self.bucket)
+        return bucket_hw(h, w, self.bucket)
 
     def encode(self, frame):
         h, w = frame.shape[:2]
@@ -381,7 +381,7 @@ class ClipOCRBucketEngine:
         return sorted(self._encode)
 
     def pad_hw(self, h: int, w: int) -> tuple[int, int]:
-        return bucket_size(h, self.bucket), bucket_size(w, self.bucket)
+        return bucket_hw(h, w, self.bucket)
 
     def encode(self, frame):
         """frame: [H, W, 3] normalized → (OCR feats on the bucket grid —

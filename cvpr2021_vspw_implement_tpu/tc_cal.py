@@ -110,9 +110,8 @@ def compute_tc(args, logger=None) -> float:
         if not args.width_bucket:
             return np.asarray(step(jnp.asarray(img1), jnp.asarray(img2),
                                    jnp.asarray(next_pred)))
-        from .ops.masked import bucket_size, pad_to
-        key = (bucket_size(h, args.width_bucket),
-               bucket_size(w, args.width_bucket))
+        from .ops.masked import bucket_hw, pad_to
+        key = bucket_hw(h, w, args.width_bucket)
         out = step_bucketed(pad_to(jnp.asarray(img1), key),
                             pad_to(jnp.asarray(img2), key),
                             pad_to(jnp.asarray(next_pred[..., None]),

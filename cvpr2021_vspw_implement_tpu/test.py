@@ -42,7 +42,7 @@ def build_eval_parser():
     parser.add_argument("--use_720p", action="store_true")
     parser.add_argument("--max_videos", type=int, default=0)
     parser.add_argument("--width_bucket", type=int, default=64,
-                        help="pad eval frames to multiples of this and "
+                        help="pad eval frame WIDTHS to multiples of this (heights round to the stride, 32) and "
                              "reuse one compiled kernel per bucket "
                              "(ops/masked.py; 0 = compile per distinct "
                              "shape); predictions are bit-identical")
@@ -121,13 +121,13 @@ def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
         # width-bucketed masked eval: one compile per bucket, predictions
         # bit-identical to the per-shape path (tests/test_masked_eval.py)
         from .models.segmentation import inference_pred_rt
-        from .ops.masked import bucket_size, feature_valid, pad_to
+        from .ops.masked import bucket_hw, feature_valid, pad_to
 
         _cache = {}
 
         def infer(img):
             h, w = img.shape[1:3]
-            key = (bucket_size(h, bucket), bucket_size(w, bucket))
+            key = bucket_hw(h, w, bucket)
             fn = _cache.get(key)
             if fn is None:
                 @jax.jit

@@ -68,7 +68,7 @@ def build_eval_clip_parser():
     p.add_argument("--max_distances", type=str, default="10")
     p.add_argument("--max_videos", type=int, default=0)
     p.add_argument("--width_bucket", type=int, default=64,
-                   help="pad eval frames to multiples of this and reuse "
+                   help="pad eval frame WIDTHS to multiples of this (heights round to the stride, 32) and reuse "
                         "one compiled kernel per bucket across videos "
                         "(ops/masked.py; 0 = compile per distinct shape); "
                         "predictions are pixel-identical for the conv/pool "
@@ -218,7 +218,7 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             and args.method in BUCKETED_WINDOW_METHODS):
         from .models.segmentation import (inference_pred_rt,
                                           inference_probs_rt)
-        from .ops.masked import bucket_size, feature_valid
+        from .ops.masked import bucket_hw, feature_valid
 
         _bk = args.width_bucket
 
@@ -242,7 +242,7 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
 
             def infer(imgs, memory):  # noqa: F811 — bucketed override
                 t, b, h, w, _ = imgs.shape
-                key = (bucket_size(h, _bk), bucket_size(w, _bk))
+                key = bucket_hw(h, w, _bk)
                 pred, new_mem = _infer_bucketed_mem(
                     _pad(imgs, key), memory, jnp.int32(h), jnp.int32(w))
                 return pred[:, :h, :w], new_mem
@@ -261,7 +261,7 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
 
             def infer(imgs):  # noqa: F811 — bucketed override
                 t, b, h, w, _ = imgs.shape
-                key = (bucket_size(h, _bk), bucket_size(w, _bk))
+                key = bucket_hw(h, w, _bk)
                 probs = _infer_bucketed_probs(_pad(imgs, key), jnp.int32(h),
                                               jnp.int32(w))
                 return probs[:, :, :h, :w]
@@ -278,7 +278,7 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
 
             def infer(imgs):  # noqa: F811 — bucketed override
                 t, b, h, w, _ = imgs.shape
-                key = (bucket_size(h, _bk), bucket_size(w, _bk))
+                key = bucket_hw(h, w, _bk)
                 pred = _infer_bucketed(_pad(imgs, key), jnp.int32(h),
                                        jnp.int32(w))
                 return pred[:, :h, :w]
@@ -419,8 +419,8 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             h0, w0 = img0.shape[:2]
             bucket = getattr(args, "width_bucket", 0)
             if bucket:
-                from .ops.masked import bucket_size, pad_to
-                key = (bucket_size(h0, bucket), bucket_size(w0, bucket))
+                from .ops.masked import bucket_hw, pad_to
+                key = bucket_hw(h0, w0, bucket)
                 fh, fw = os8(key[0]), os8(key[1])
             else:
                 fh, fw = os8(h0), os8(w0)

@@ -48,3 +48,16 @@ def test_band_zero_bf16_and_batch():
     want = mask_valid(x, (hv, wv))
     assert np.array_equal(np.asarray(got, np.float32),
                           np.asarray(want, np.float32))
+
+
+@pytest.mark.smoke
+def test_bucket_hw_height_stays_at_stride():
+    """bucket_hw: widths round to the user bucket, heights only to the
+    encoder stride (VSPW-480p heights are constant, so 480 must stay 480
+    instead of padding to 512 — ops/masked.bucket_hw)."""
+    from cvpr2021_vspw_implement_tpu.ops.masked import bucket_hw
+    assert bucket_hw(480, 853) == (480, 896)
+    assert bucket_hw(480, 853, bucket=32) == (480, 864)
+    assert bucket_hw(477, 853) == (480, 896)      # /8 slack: 3 <= 3
+    assert bucket_hw(481, 640) == (512, 640)
+    assert bucket_hw(480, 896) == (480, 896)      # exact fit unchanged

@@ -42,7 +42,7 @@ def render(d: dict) -> str:
         f"{pct(d.get('baseline_mfu'))})")
     if d.get("stream_bucketed_frames_per_sec"):
         row("… production width-bucketed masked path (480×853 in the "
-            "512×896 bucket, runtime-valid scalars)",
+            "480×896 bucket, runtime-valid scalars)",
             f"{fmt(d['stream_bucketed_frames_per_sec'])} frames/sec "
             f"({fmt(d.get('stream_bucketed_overhead_pct'))}% overhead vs "
             "the exact-shape kernel)")

@@ -29,12 +29,12 @@ def main():
     from cvpr2021_vspw_implement_tpu.models.clip_psp import ClipPSP
     from cvpr2021_vspw_implement_tpu.models.segmentation import (
         inference_pred, inference_pred_rt)
-    from cvpr2021_vspw_implement_tpu.ops.masked import (bucket_size,
+    from cvpr2021_vspw_implement_tpu.ops.masked import (bucket_hw,
                                                         feature_valid)
 
     dev = jax.devices()[0]
     h, w = 480, 853
-    hp, wp = bucket_size(h), bucket_size(w)
+    hp, wp = bucket_hw(h, w)
     N = 32
     rng = np.random.default_rng(0)
 
