@@ -166,7 +166,8 @@ def inference_probs(outputs, seg_size: tuple[int, int]) -> jnp.ndarray:
     return jax.nn.softmax(x, axis=-1)
 
 
-def inference_pred(outputs, seg_size: tuple[int, int]) -> jnp.ndarray:
+def inference_pred(outputs, seg_size: tuple[int, int],
+                   align_corners: bool = False) -> jnp.ndarray:
     """Argmax prediction at seg_size.
 
     Identical to ``argmax(inference_probs(...))`` (softmax is monotone; the
@@ -177,12 +178,13 @@ def inference_pred(outputs, seg_size: tuple[int, int]) -> jnp.ndarray:
     ``test_all``, reference: test_clip2.py:90-195).
     """
     logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
-    x = resize_bilinear(logits.astype(jnp.float32), seg_size)
+    x = resize_bilinear(logits.astype(jnp.float32), seg_size,
+                        align_corners=align_corners)
     return jnp.argmax(x, axis=-1).astype(jnp.uint8)
 
 
 def inference_pred_rt(outputs, seg_pad: tuple[int, int], feat_valid,
-                      seg_valid) -> jnp.ndarray:
+                      seg_valid, align_corners: bool = False) -> jnp.ndarray:
     """``inference_pred`` for width-bucketed masked eval: resize the VALID
     region of the logits to the runtime true output size on a static
     padded grid (ops/masked.py), then argmax.  Rows/cols beyond
@@ -190,7 +192,7 @@ def inference_pred_rt(outputs, seg_pad: tuple[int, int], feat_valid,
     from ..ops.masked import resize_bilinear_rt
     logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
     x = resize_bilinear_rt(logits.astype(jnp.float32), seg_pad, feat_valid,
-                           seg_valid)
+                           seg_valid, align_corners=align_corners)
     return jnp.argmax(x, axis=-1).astype(jnp.uint8)
 
 

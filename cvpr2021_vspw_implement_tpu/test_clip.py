@@ -390,7 +390,11 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
         def td4_step(img, state, pos_id):
             out, new_state = model.apply(variables, img, pos_id=pos_id,
                                          state=state)
-            return inference_pred((out,), img.shape[1:3]), new_state
+            # td4's own upsample convention is align_corners=True
+            # (reference td4_psp.py:19 up_kwargs), unlike every other
+            # method's eval branch (align_corners=False)
+            return inference_pred((out,), img.shape[1:3],
+                                  align_corners=True), new_state
 
         @functools.partial(jax.jit, static_argnames=("pos_id",))
         def td4_step_bucketed(img, state, pos_id, hv, wv):
@@ -402,8 +406,8 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
                                          state=state, valid_hw=(hv, wv))
             pad_hw = img.shape[1:3]
             fv = feature_valid(out.shape[1], out.shape[2], (hv, wv), pad_hw)
-            return inference_pred_rt((out,), pad_hw, fv,
-                                     (hv, wv)), new_state
+            return inference_pred_rt((out,), pad_hw, fv, (hv, wv),
+                                     align_corners=True), new_state
 
         for video in videos:
             ds = TestFrameDataset(args.dataroot, video, args)

@@ -186,3 +186,279 @@ def test_golden_clip_eval_clip_psp(tmp_path):
 
     _compare_pred_dirs(ref_preds, saveroot, video)
     np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
+
+
+def _clip_args(root, saveroot, method, fused_ckpt, **over):
+    """Full evaluate_clip arg surface with golden-test defaults."""
+    base = dict(
+        dataroot=root, split="val", num_class=K, method=method,
+        clip_num=4, dilation_num=0, dilation2="1,2,3", load="",
+        torch_load=fused_ckpt, saveroot=saveroot, is_save=True,
+        lesslabel=False, use_720p=False, psp_weight=False,
+        clipocr_all=False, use_memory=False, memory_num=8, fix=False,
+        deepsup_scale=0.4, st_weight=0.1, allsup=False, allsup_scale=0.3,
+        linear_combine=False, distsoftmax=False, distnearest=False,
+        temp=3.0, max_distances=[10], vc_clip_num=4, cropsize=48,
+        streaming=False)
+    base.update(over)
+    return argparse.Namespace(**base)
+
+
+def _ref_eval_loop(tmodel, ds, num_class, feed_extra=None):
+    """The reference per-video eval loop (test_clip2.py:28-89): window
+    forward, argmax, Evaluator accumulation, prediction dict."""
+    rutils = _load_ref_toplevel("utils.py", "ref_utils")
+    ev = rutils.Evaluator(num_class)
+    ev.reset()
+    preds = {}
+    for i in range(len(ds)):
+        img, gt, clip_imgs, _lbls, gtname = ds[i]
+        feed = {"img_data": img[None], "seg_label": gt[None],
+                "clipimgs_data": [c[None] for c in clip_imgs]}
+        if feed_extra:
+            feed.update(feed_extra(i))
+        with torch.no_grad():
+            scores = tmodel(feed, segSize=img.shape[-2:])
+        pred = torch.argmax(scores, dim=1).numpy()[0]
+        ev.add_batch(gt.squeeze(0).numpy()[None], pred[None])
+        preds[gtname.split(".")[0] + ".png"] = pred.astype(np.uint8)
+    return ev.Mean_Intersection_over_Union(), preds
+
+
+@pytest.mark.parametrize("streaming", [False, True])
+def test_golden_clip_eval_clip_ocr(tmp_path, streaming):
+    """TCB-OCR: reference window pipeline vs our CLI (both the window loop
+    and the production ClipOCRStreamer serving path) — pixel-identical."""
+    root = _fixture(tmp_path, seed=33)
+    video = "video_000"
+
+    mm = _ref_import("models.models")
+    ref_clip_ocr = _ref_import("models.clip_ocr")
+    ds2 = _load_ref_toplevel("dataset2.py", "ref_dataset2")
+
+    margs = argparse.Namespace(num_class=K, use_memory=False,
+                               clipocr_all=False, clip_num=4,
+                               dilation2="1,2,3", lesslabel=False,
+                               use_720p=False)
+    torch.manual_seed(2)
+    enc = mm.ModelBuilder.build_encoder("resnet50dilated", weights="")
+    tmodel = ref_clip_ocr.ClipOCRNet(enc, torch.nn.NLLLoss(ignore_index=255),
+                                     margs, deep_sup_scale=0.4)
+    _randomize(tmodel, seed=43)
+    tmodel.eval()
+    fused_ckpt = str(tmp_path / "model_epoch_1.pth")
+    torch.save(tmodel.state_dict(), fused_ckpt)
+
+    ds = ds2.TestDataset_longclip(root, video, margs)
+    ref_miou, ref_preds = _ref_eval_loop(tmodel, ds, K)
+
+    from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet50dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_clip"
+    cfg.MODEL.fc_dim = 2048
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+    saveroot = str(tmp_path / "preds")
+    args = _clip_args(root, saveroot, "clip_ocr", fused_ckpt,
+                      streaming=streaming)
+    metrics, _ = evaluate_clip(cfg, args, max_videos=1, is_save=True)
+
+    _compare_pred_dirs(ref_preds, saveroot, video)
+    np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
+
+
+def test_golden_clip_eval_etc(tmp_path, monkeypatch):
+    """ETC: inference is single-frame (reference ETC.py:181-189); the
+    reference pipeline over TestDataset_clip vs our window-loop CLI."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_fused_numeric import _stage_raft_ckpt
+
+    root = _fixture(tmp_path, seed=34)
+    video = "video_000"
+
+    _stage_raft_ckpt(tmp_path, monkeypatch)
+    mm = _ref_import("models.models")
+    ref_etc = _ref_import("models.ETC")
+    ds2 = _load_ref_toplevel("dataset2.py", "ref_dataset2")
+
+    margs = argparse.Namespace(num_class=K, clip_num=2, dilation_num=0,
+                               st_weight=0.1, method="ETC", lesslabel=False,
+                               use_720p=False)
+    torch.manual_seed(3)
+    enc = mm.ModelBuilder.build_encoder("resnet50dilated", weights="")
+    dec = mm.ModelBuilder.build_decoder("ppm_deepsup_clip", fc_dim=2048,
+                                        num_class=K, use_softmax=True)
+    tmodel = ref_etc.ETC(enc, dec, torch.nn.NLLLoss(ignore_index=-1),
+                         margs, deep_sup_scale=0.4)
+    _randomize(tmodel, seed=44)
+    tmodel.eval()
+    fused_ckpt = str(tmp_path / "model_epoch_1.pth")
+    torch.save(tmodel.state_dict(), fused_ckpt)
+
+    ds = ds2.TestDataset_clip(root, video, margs)
+    ref_miou, ref_preds = _ref_eval_loop(tmodel, ds, K)
+
+    from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet50dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_clip"
+    cfg.MODEL.fc_dim = 2048
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+    saveroot = str(tmp_path / "preds")
+    args = _clip_args(root, saveroot, "ETC", fused_ckpt, clip_num=2)
+    metrics, _ = evaluate_clip(cfg, args, max_videos=1, is_save=True)
+
+    _compare_pred_dirs(ref_preds, saveroot, video)
+    np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
+
+
+def test_golden_clip_eval_netwarp(tmp_path, monkeypatch):
+    """NetWarp: reference RAFT-coupled window pipeline vs our production
+    NetWarpStreamer CLI path.  128x128 frames (the torch RAFT corr pyramid
+    needs H/64 >= 2, fused-numeric note)."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_fused_numeric import _stage_raft_ckpt
+
+    from cvpr2021_vspw_implement_tpu.data import make_synthetic_vspw
+    root = str(tmp_path / "vspw")
+    make_synthetic_vspw(root, 1, 5, (128, 128), K, seed=35)
+    video = "video_000"
+
+    _stage_raft_ckpt(tmp_path, monkeypatch)
+    mm = _ref_import("models.models")
+    ref_nw = _ref_import("models.netwarp")
+    ds2 = _load_ref_toplevel("dataset2.py", "ref_dataset2")
+
+    margs = argparse.Namespace(num_class=K, clip_num=2, dilation_num=0,
+                               method="netwarp", lesslabel=False,
+                               use_720p=False)
+    torch.manual_seed(4)
+    enc = mm.ModelBuilder.build_encoder("resnet50dilated", weights="")
+    dec = mm.ModelBuilder.build_decoder("ppm_deepsup_clip", fc_dim=2048,
+                                        num_class=K, use_softmax=True)
+    tmodel = ref_nw.NetWarp(enc, dec, torch.nn.NLLLoss(ignore_index=-1),
+                            margs, deep_sup_scale=0.4)
+    _randomize(tmodel, seed=45)
+    tmodel.eval()
+    fused_ckpt = str(tmp_path / "model_epoch_1.pth")
+    torch.save(tmodel.state_dict(), fused_ckpt)
+
+    ds = ds2.TestDataset_clip(root, video, margs)
+    ref_miou, ref_preds = _ref_eval_loop(tmodel, ds, K)
+
+    from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet50dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_clip"
+    cfg.MODEL.fc_dim = 2048
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+    saveroot = str(tmp_path / "preds")
+    args = _clip_args(root, saveroot, "netwarp", fused_ckpt, clip_num=2,
+                      streaming=True)
+    metrics, _ = evaluate_clip(cfg, args, max_videos=1, is_save=True)
+
+    _compare_pred_dirs(ref_preds, saveroot, video)
+    np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
+
+
+def test_golden_tdnet_eval(tmp_path):
+    """TDNet streaming eval: the reference's own streaming branch is
+    broken upstream (td4_psp.py:317-330 swaps Encoding's (v, q) return
+    into (q, v) AND buffers (k, v, q) as (q, k, v), feeding
+    shape-mismatched tensors into LayerNorm — it raises at runtime).  The
+    oracle here is the reference's torch modules driven by the INTENDED
+    streaming schedule (unpack fixed, logits upsampled to segSize like
+    every other method's eval branch), which is exactly what our driver
+    implements (models/td4_psp.py module docstring)."""
+    from cvpr2021_vspw_implement_tpu.data import make_synthetic_vspw
+    root = str(tmp_path / "vspw")
+    hw = 48
+    make_synthetic_vspw(root, 1, 8, (hw, hw), K, seed=36)
+    video = "video_000"
+
+    ref_td4 = _ref_import("models.td4_psp.td4_psp")
+    ds2 = _load_ref_toplevel("dataset2.py", "ref_dataset2")
+    rutils = _load_ref_toplevel("utils.py", "ref_utils")
+
+    cropsize = hw - 1  # int(cropsize/8)+1 == hw/8 feature size (curve test)
+    margs = argparse.Namespace(num_class=K, cropsize=cropsize, fix=False,
+                               clip_num=4, dilation_num=0, method="tdnet",
+                               lesslabel=False, use_720p=False)
+    torch.manual_seed(5)
+    tmodel = ref_td4.td4_psp(args=margs, backbone="resnet18")
+    _randomize(tmodel, seed=46)
+    tmodel.eval()
+    fused_ckpt = str(tmp_path / "model_epoch_1.pth")
+    torch.save(tmodel.state_dict(), fused_ckpt)
+
+    # ---- fixed-reference streaming oracle --------------------------------
+    pre = [tmodel.pretrained1, tmodel.pretrained2, tmodel.pretrained3,
+           tmodel.pretrained4]
+    psp = [tmodel.psp1, tmodel.psp2, tmodel.psp3, tmodel.psp4]
+    encm = [tmodel.enc1, tmodel.enc2, tmodel.enc3, tmodel.enc4]
+    lns = [tmodel.layer_norm1, tmodel.layer_norm2, tmodel.layer_norm3,
+           tmodel.layer_norm4]
+    heads = [tmodel.head1, tmodel.head2, tmodel.head3, tmodel.head4]
+    atn = [[None] * 4 for _ in range(4)]
+    for p in range(4):
+        for j in range(4):
+            if j != p:
+                atn[p][j] = getattr(tmodel, f"atn{p + 1}_{j + 1}")
+
+    ds = ds2.TestDataset_clip(root, video, margs)
+    ev = rutils.Evaluator(K)
+    ev.reset()
+    ref_preds = {}
+    Kq, Vq, Qq = [], [], []
+    with torch.no_grad():
+        for i in range(len(ds)):
+            img, gt, _clips, _lbls, gtname = ds[i]
+            p = i % 4
+            z = psp[p](pre[p](img[None], aux=False))
+            v_cur, q_cur = encm[p](z, pre=False)    # FIXED unpack order
+            if len(Qq) < 3:
+                feat = v_cur
+            else:
+                ctx = [(p + 1) % 4, (p + 2) % 4, (p + 3) % 4]
+                a1 = atn[p][ctx[0]](Kq[0], Vq[0], Qq[1], fea_size=None)
+                a2 = atn[p][ctx[1]](Kq[1], a1 + Vq[1], Qq[2], fea_size=None)
+                att = atn[p][ctx[2]](Kq[2], a2 + Vq[2], q_cur,
+                                     fea_size=z.size())
+                feat = att + v_cur
+            out = heads[p](lns[p](feat))
+            out = torch.nn.functional.interpolate(
+                out, (hw, hw), mode="bilinear", align_corners=True)
+            k_n, v_n, q_n = encm[p](z, pre=True)    # FIXED buffer mapping
+            Kq.append(k_n); Vq.append(v_n); Qq.append(q_n)
+            if len(Qq) > 3:
+                Kq.pop(0); Vq.pop(0); Qq.pop(0)
+            pred = torch.argmax(out, dim=1).numpy()[0]
+            ev.add_batch(gt.squeeze(0).numpy()[None], pred[None])
+            ref_preds[gtname.split(".")[0] + ".png"] = pred.astype(np.uint8)
+    ref_miou = ev.Mean_Intersection_over_Union()
+
+    # ---- our CLI streaming eval, same torch checkpoint -------------------
+    from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.fc_dim = 512
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+    saveroot = str(tmp_path / "preds")
+    args = _clip_args(root, saveroot, "tdnet", fused_ckpt,
+                      cropsize=cropsize)
+    metrics, _ = evaluate_clip(cfg, args, max_videos=1, is_save=True)
+
+    _compare_pred_dirs(ref_preds, saveroot, video)
+    np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
