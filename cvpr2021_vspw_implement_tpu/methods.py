@@ -138,6 +138,20 @@ def _build_nonlocal3d(cfg, args, dtype):
     return model, nonlocal3d_loss
 
 
+def _build_hrnetv2_clip(cfg, args, dtype):
+    """HRNetV2-clip (TimeAtten frozen-stem clip encoder + per-frame
+    decoder).  Capability beyond the reference: models.py:564-565 builds
+    this encoder but no reference driver ever evals it — here
+    SegmentationModuleClip gets a real CLI (PARITY.md)."""
+    from .models.hrnet_clip import (HRNetV2Clip, SegmentationModuleClip,
+                                    seg_clip_loss)
+    enc = HRNetV2Clip(dtype=dtype, args=args)
+    dec = ModelBuilder.build_decoder(cfg.MODEL.arch_decoder,
+                                     fc_dim=cfg.MODEL.fc_dim,
+                                     num_class=args.num_class, dtype=dtype)
+    return SegmentationModuleClip(encoder=enc, decoder=dec), seg_clip_loss
+
+
 def _build_tdnet(cfg, args, dtype):
     from .models.td4_psp import TD4PSP, td4_loss
     model = TD4PSP(num_class=args.num_class,
@@ -157,6 +171,7 @@ METHODS = {
     "our_warp_merge": _build_warp_merge,
     "nonlocal3d": _build_nonlocal3d,
     "tdnet": _build_tdnet,
+    "hrnetv2_clip": _build_hrnetv2_clip,
 }
 
 def get_collate(method: str, clip_num: int):

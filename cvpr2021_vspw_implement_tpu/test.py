@@ -54,7 +54,8 @@ def build_eval_parser():
 #: qualifies (hrnet's cross-resolution fusion upsamples are runtime-masked
 #: via resize_bilinear_rt, hrnet.py).  hrnetv2_clip takes a (target, clip)
 #: input pair this per-frame driver cannot feed — its masked eval lives on
-#: SegmentationModuleClip(valid_hw=...) (models/hrnet_clip.py)
+#: SegmentationModuleClip(valid_hw=...) (models/hrnet_clip.py), dispatched
+#: by ``test_clip.py --method hrnetv2_clip``
 BUCKETED_DECODERS = {"c1", "c1_deepsup", "ppm", "ppm_deepsup",
                      "upernet", "upernet_lite",
                      "ocrnet_deepsup", "deeplab", "nonlocal2d"}

@@ -150,8 +150,13 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
     if variables is None:
         key = jax.random.PRNGKey(0)
         sample = jnp.zeros((args.clip_num, 1, 64, 64, 3), jnp.float32)
-        variables = model.init({"params": key, "dropout": key}, sample,
-                               train=True)
+        if args.method == "hrnetv2_clip":
+            # SegmentationModuleClip takes (target, clips) (hrnet_clip.py)
+            variables = model.init({"params": key, "dropout": key},
+                                   sample[-1], sample[:-1], train=True)
+        else:
+            variables = model.init({"params": key, "dropout": key}, sample,
+                                   train=True)
         variables = {"params": variables["params"],
                      "batch_stats": variables.get("batch_stats", {})}
         if args.load:
@@ -202,6 +207,12 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             outs = model.apply(variables, imgs, train=False)  # [T,B,h,w,K]
             return jnp.stack([inference_probs((outs[t],), imgs.shape[2:4])
                               for t in range(imgs.shape[0])])
+    elif args.method == "hrnetv2_clip":
+        # (target, clips) signature; the window loop stacks target LAST
+        @jax.jit
+        def infer(imgs):
+            outs = model.apply(variables, imgs[-1], imgs[:-1], train=False)
+            return inference_pred(outs, imgs.shape[2:4])
     else:
         @jax.jit
         def infer(imgs):
@@ -213,7 +224,7 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
     #: predictions match the unpadded run on the valid region.
     BUCKETED_WINDOW_METHODS = ("ETC", "etc_ocr", "clip_psp", "clip_ocr",
                                "our_warp", "propnet", "our_warp_merge",
-                               "nonlocal3d")
+                               "nonlocal3d", "hrnetv2_clip")
     if (getattr(args, "width_bucket", 0)
             and args.method in BUCKETED_WINDOW_METHODS):
         from .models.segmentation import (inference_pred_rt,
@@ -265,6 +276,23 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
                 probs = _infer_bucketed_probs(_pad(imgs, key), jnp.int32(h),
                                               jnp.int32(w))
                 return probs[:, :, :h, :w]
+        elif args.method == "hrnetv2_clip":
+            @jax.jit
+            def _infer_bucketed_hrclip(imgs, hv, wv):
+                outs = model.apply(variables, imgs[-1], imgs[:-1],
+                                   train=False, valid_hw=(hv, wv))
+                pad_hw = imgs.shape[2:4]
+                logit = outs[0]
+                fv = feature_valid(logit.shape[1], logit.shape[2], (hv, wv),
+                                   pad_hw)
+                return inference_pred_rt(outs, pad_hw, fv, (hv, wv))
+
+            def infer(imgs):  # noqa: F811 — bucketed override
+                t, b, h, w, _ = imgs.shape
+                key = bucket_hw(h, w, _bk)
+                pred = _infer_bucketed_hrclip(_pad(imgs, key), jnp.int32(h),
+                                              jnp.int32(w))
+                return pred[:, :h, :w]
         else:
             @jax.jit
             def _infer_bucketed(imgs, hv, wv):

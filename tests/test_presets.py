@@ -26,4 +26,6 @@ def test_preset_loads_and_builds(preset):
 
 
 def test_preset_count_matches_reference_zoo():
-    assert len(PRESETS) == 18
+    # 18 reference-zoo configs + vsp-hrnetv2_clip (capability beyond the
+    # reference: it builds this encoder but ships no config/driver for it)
+    assert len(PRESETS) == 19
