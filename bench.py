@@ -724,7 +724,7 @@ def main():
         ERRORS["host_pipeline"] = repr(e)[:160]
 
     rnd = lambda x, n=4: (round(x, n) if isinstance(x, float) else x)
-    print(json.dumps({
+    out = {
         "metric": "tcb_psp_r101_480p_streaming_inference",
         "value": round(stream_fps, 3),
         "unit": "frames/sec/chip",
@@ -781,7 +781,59 @@ def main():
         "errors": ERRORS or None,
         "device": getattr(dev, "device_kind", str(dev)),
         "peak_tflops_bf16": peak / 1e12,
-    }))
+    }
+
+    # ---- cross-RUN drift guard (VERDICT r4 #7): within-run spreads catch
+    # trial noise, not run-to-run regime shifts (the r3 ClipOCR lesson).
+    # Compare every throughput/latency row against the newest archived
+    # bench_runs artifact and record the drift; tools/gen_readme_table.py
+    # refuses to regenerate README from an artifact whose drift exceeds
+    # its recorded spread (+2% floor). ----
+    prev, prev_name = _load_prev_artifact()
+    if prev:
+        drift = {}
+        for k, v in out.items():
+            if not (k == "value" or k.endswith("_per_sec")
+                    or k.endswith("_ms")):
+                continue
+            pv = prev.get(k)
+            if isinstance(v, (int, float)) and isinstance(pv, (int, float)) \
+                    and pv:
+                drift[k] = round(100.0 * (v / pv - 1.0), 1)
+        out["drift_vs_prev_pct"] = drift or None
+        out["drift_prev_artifact"] = prev_name
+    _archive_run(out)
+    print(json.dumps(out))
+
+
+def _load_prev_artifact(d="bench_runs"):
+    """Newest archived full-bench artifact (by mtime) or (None, None)."""
+    import glob
+    import os as _os
+    best, best_m = None, -1.0
+    for p in glob.glob(_os.path.join(_os.path.dirname(
+            _os.path.abspath(__file__)), d, "*.json")):
+        try:
+            with open(p) as f:
+                obj = json.load(f)
+        except Exception:
+            continue
+        if obj.get("metric") != "tcb_psp_r101_480p_streaming_inference":
+            continue
+        m = _os.path.getmtime(p)
+        if m > best_m:
+            best, best_m = (obj, _os.path.basename(p)), m
+    return best if best else (None, None)
+
+
+def _archive_run(out, d="bench_runs"):
+    """Store this run so the next one can measure drift against it."""
+    import os as _os
+    root = _os.path.dirname(_os.path.abspath(__file__))
+    _os.makedirs(_os.path.join(root, d), exist_ok=True)
+    stamp = time.strftime("%Y%m%d_%H%M%S")
+    with open(_os.path.join(root, d, f"run_{stamp}.json"), "w") as f:
+        json.dump(out, f, indent=1)
 
 
 if __name__ == "__main__":

@@ -104,6 +104,8 @@ def main():
     ap.add_argument("artifact")
     ap.add_argument("--readme", default=str(
         Path(__file__).resolve().parent.parent / "README.md"))
+    ap.add_argument("--force", action="store_true",
+                    help="publish despite a drift-gate failure")
     args = ap.parse_args()
 
     with open(args.artifact) as f:
@@ -112,6 +114,20 @@ def main():
     d = json.loads(text)
     if "parsed" in d and isinstance(d["parsed"], dict):
         d = d["parsed"]
+
+    # drift gate (VERDICT r4 #7): refuse to publish a table whose serving
+    # rows moved more vs the previous archived run than this run's own
+    # trial spread explains (+2% floor) — run-to-run regime shifts must be
+    # investigated, not silently enshrined in README.
+    drifts = d.get("drift_vs_prev_pct") or {}
+    spreads = d.get("spreads_pct") or {}
+    maxspread = max(spreads.values(), default=0.0)
+    allowed = max(maxspread, 2.0) + 2.0
+    bad = {k: v for k, v in drifts.items() if abs(v) > allowed}
+    if bad and not args.force:
+        sys.exit(f"drift vs {d.get('drift_prev_artifact')} exceeds the "
+                 f"spread-explained band (±{allowed:.1f}%): {bad} — "
+                 "investigate the regime shift or rerun; --force overrides")
 
     readme = Path(args.readme).read_text()
     if BEGIN not in readme or END not in readme:
