@@ -95,6 +95,86 @@ class ClipPSPBucketEngine:
         return np.asarray(pred)[0, :h, :w]
 
 
+class ExactShapeEngine:
+    """EXACT-shape compiled encode/fuse kernels cached across videos (the
+    third leg of ``--eval_policy``; works for both ClipPSP and ClipOCR —
+    their streaming surface is the same (encode_frame, fuse_target) pair).
+
+    VSPW's per-video shape is constant and the val list draws from a
+    handful of distinct widths, so an exact kernel amortizes its one XLA
+    compile over EVERY video of that width — and, with the persistent
+    compile cache (enabled by the drivers), over every future run — while
+    running without the width-bucketed masked kernels' measured per-frame
+    tax (tools/eval_policy_micro.py).  Pick per shape with
+    ``--eval_policy auto``: bucketed for rare shapes (one compile per
+    bucket, shared), exact for shapes with enough total frames."""
+
+    def __init__(self, model, variables):
+        self.model = model
+        self.variables = variables
+        self._encode = {}
+        self._fuse = {}
+
+    @property
+    def encode_shapes(self):
+        return sorted(self._encode)
+
+    def pad_hw(self, h: int, w: int) -> tuple[int, int]:
+        return (h, w)
+
+    def encode(self, frame):
+        """frame: [H, W, 3] normalized → per-frame cached stats."""
+        h, w = frame.shape[:2]
+        fn = self._encode.get((h, w))
+        if fn is None:
+            model, variables = self.model, self.variables
+
+            @jax.jit
+            def fn(img):
+                return model.apply(variables, img, train=False,
+                                   method=model.encode_frame)
+
+            self._encode[(h, w)] = fn
+        return fn(jnp.asarray(frame)[None])
+
+    def fuse(self, feat_t, blended, true_hw):
+        """Fuse + argmax at the exact resolution.  Returns [H, W] uint8."""
+        h, w = true_hw
+        fn = self._fuse.get((h, w))
+        if fn is None:
+            model, variables = self.model, self.variables
+
+            @jax.jit
+            def fn(feat_t, blended):
+                logits = model.apply(variables, feat_t, blended,
+                                     train=False, method=model.fuse_target)
+                return inference_pred((logits,), (h, w))
+
+            self._fuse[(h, w)] = fn
+        return np.asarray(fn(feat_t, blended))[0]
+
+
+def video_shape_census(dataroot, videos):
+    """{(h, w): total frames} + {video: (h, w)} from the frame headers
+    (PIL reads the size without decoding) — the ``--eval_policy auto``
+    amortization input."""
+    import os
+
+    from PIL import Image
+
+    census, shapes = {}, {}
+    for v in videos:
+        d = os.path.join(dataroot, "data", v, "origin")
+        frames = os.listdir(d)
+        if not frames:
+            continue
+        with Image.open(os.path.join(d, sorted(frames)[0])) as im:
+            w, h = im.size
+        shapes[v] = (h, w)
+        census[(h, w)] = census.get((h, w), 0) + len(frames)
+    return census, shapes
+
+
 class _WindowStreamer:
     """Shared lookahead loop: encode frames once, fuse windows when every
     member's cached stats are available."""

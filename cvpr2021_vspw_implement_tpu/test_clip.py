@@ -75,6 +75,23 @@ def build_eval_clip_parser():
                         "heads and match to float precision for the "
                         "flow-coupled methods (masked instance-norm "
                         "statistics reduce in a different order)")
+    p.add_argument("--eval_policy", choices=("bucketed", "exact", "auto"),
+                   default="bucketed",
+                   help="eval-shape policy for the streaming methods "
+                        "(clip_psp/clip_ocr): 'bucketed' shares one masked "
+                        "kernel per width bucket (--width_bucket) at a "
+                        "measured per-frame tax; 'exact' compiles one "
+                        "exact-shape kernel per distinct video shape "
+                        "(cached across videos and, via the persistent "
+                        "compile cache, across runs); 'auto' census-counts "
+                        "frames per shape over the val list and compiles "
+                        "exact only where >= --exact_min_frames amortize "
+                        "the compile (tools/eval_policy_micro.py)")
+    p.add_argument("--exact_min_frames", type=int, default=2000,
+                   help="auto policy: total frames a shape needs across "
+                        "the val list before an exact kernel beats the "
+                        "bucketed one (break-even = warm compile seconds / "
+                        "per-frame bucket tax; see ROADMAP r5 measurement)")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return p
 
@@ -368,10 +385,13 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
         dil = args.dilation2
         dilation2 = [int(d) for d in dil.split(",")] \
             if isinstance(dil, str) else list(dil)
-        # width-bucketed masked kernels shared across videos: one compile
-        # per bucket instead of per distinct video shape
+        # eval-shape policy (VERDICT r4 #1): 'bucketed' shares one masked
+        # kernel per width bucket; 'exact' compiles per distinct shape,
+        # cached across videos/runs; 'auto' picks per shape by whether its
+        # total frame count amortizes the compile over the bucket tax
+        policy = getattr(args, "eval_policy", "bucketed")
         engine = None
-        if getattr(args, "width_bucket", 0):
+        if policy != "exact" and getattr(args, "width_bucket", 0):
             if args.method == "clip_psp":
                 from .serving import ClipPSPBucketEngine
                 engine = ClipPSPBucketEngine(model, variables,
@@ -380,13 +400,25 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
                 from .serving import ClipOCRBucketEngine
                 engine = ClipOCRBucketEngine(model, variables,
                                              bucket=args.width_bucket)
+        exact_engine, census, vshapes = None, None, None
+        if policy in ("exact", "auto"):
+            from .serving import ExactShapeEngine, video_shape_census
+            exact_engine = ExactShapeEngine(model, variables)
+            if policy == "auto":
+                census, vshapes = video_shape_census(args.dataroot, videos)
         for video in videos:
             ds = TestFrameDataset(args.dataroot, video, args)
             eval_video = Evaluator(args.num_class)
             items = [ds[i] for i in range(len(ds))]
             h0, w0 = items[0][0].shape[:2]
+            eng_v = engine
+            if policy == "exact" or (
+                    policy == "auto"
+                    and census.get(vshapes.get(video, (h0, w0)), 0)
+                    >= getattr(args, "exact_min_frames", 2000)):
+                eng_v = exact_engine
             streamer = stream_cls(model, variables, dilation2,
-                                  len(ds), (h0, w0), engine=engine)
+                                  len(ds), (h0, w0), engine=eng_v)
             gt_list = [it[1] for it in items]
             pred_list = [None] * len(ds)
             for i, pred in streamer.run(it[0] for it in items):
@@ -546,6 +578,17 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
 def main():
     from .utils.misc import honor_platform_env
     honor_platform_env()
+    # persistent compile cache: exact-shape eval kernels (--eval_policy
+    # exact/auto) amortize their one XLA compile per shape across RUNS
+    import os as _os
+    try:
+        jax.config.update(
+            "jax_compilation_cache_dir",
+            _os.environ.get("VSPW_COMPILE_CACHE",
+                            _os.path.expanduser("~/.cache/vspw_xla")))
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    except Exception:
+        pass
     args = build_eval_clip_parser().parse_args()
     from .config.args import postprocess_args
     postprocess_args(args)
