@@ -238,6 +238,83 @@ def main():
     except Exception as e:  # recorded, not swallowed
         ERRORS["stream_bucketed"] = repr(e)[:160]
 
+    # -------- 1d. eval-shape policy on a width MIX (VERDICT r4 #1) --------
+    # VSPW-val-shaped workload: several distinct widths, constant shape per
+    # video.  'exact' compiles one kernel per width (amortized across that
+    # width's videos and, via the persistent cache, across runs); the
+    # bucketed-masked path shares one kernel per 64-px bucket at a
+    # per-frame tax.  Steady-state effective f/s over the mix under each
+    # policy; compile costs are measured in tools/eval_policy_micro.py.
+    policy_exact_mix_fps = policy_bucketed_mix_fps = None
+    try:
+        from cvpr2021_vspw_implement_tpu.models.segmentation import (
+            inference_pred_rt as _ip_rt)
+        from cvpr2021_vspw_implement_tpu.ops.masked import (
+            bucket_hw as _bhw, feature_valid as _fvalid)
+        MIXW, NW = (704, 853), 32
+        tot_e = tot_b = 0.0
+        for wmix in MIXW:
+            frmix = jnp.asarray(rng.standard_normal(
+                (NW, 1, h, wmix, 3)).astype(np.float32))
+
+            def one_e(blended_prev, img, _w=wmix):
+                c5, pooled = model.apply(variables, img, train=False,
+                                         method=model.encode_frame)
+                blended = [jnp.mean(jnp.stack([p, q]), 0)
+                           for p, q in zip(pooled, blended_prev)]
+                logits = model.apply(variables, c5, blended, train=False,
+                                     method=model.fuse_target)
+                pred = inference_pred((logits,), (h, _w))
+                return pooled, jnp.sum(pred[0, ::97, ::97].astype(jnp.int32))
+
+            @jax.jit
+            def run_e(fr, b0):
+                _, sums = jax.lax.scan(one_e, b0, fr)
+                return jnp.sum(sums)
+
+            float(run_e(frmix, pooled0))
+            best = float("inf")
+            for _t in range(3):
+                t0 = time.perf_counter()
+                float(run_e(frmix, pooled0))
+                best = min(best, time.perf_counter() - t0)
+            tot_e += best
+
+            hpm, wpm = _bhw(h, wmix)
+            frp = jnp.pad(frmix, ((0, 0), (0, 0), (0, hpm - h),
+                                  (0, wpm - wmix), (0, 0)))
+
+            @jax.jit
+            def run_b(fr, b0, hv, wv, _pad=(hpm, wpm)):
+                def step(blended_prev, img):
+                    c5, pooled = model.apply(variables, img, train=False,
+                                             valid_hw=(hv, wv),
+                                             method=model.encode_frame)
+                    blended = [jnp.mean(jnp.stack([p, q]), 0)
+                               for p, q in zip(pooled, blended_prev)]
+                    fv = _fvalid(c5.shape[1], c5.shape[2], (hv, wv), _pad)
+                    logits = model.apply(variables, c5, blended,
+                                         train=False, feat_valid=fv,
+                                         method=model.fuse_target)
+                    pred = _ip_rt((logits,), _pad, fv, (hv, wv))
+                    return pooled, jnp.sum(
+                        pred[0, ::97, ::97].astype(jnp.int32))
+                _, sums = jax.lax.scan(step, b0, fr)
+                return jnp.sum(sums)
+
+            float(run_b(frp, pooled0, jnp.int32(h), jnp.int32(wmix)))
+            best = float("inf")
+            for _t in range(3):
+                t0 = time.perf_counter()
+                float(run_b(frp, pooled0, jnp.int32(h), jnp.int32(wmix)))
+                best = min(best, time.perf_counter() - t0)
+            tot_b += best
+            del frmix, frp
+        policy_exact_mix_fps = round(len(MIXW) * NW / tot_e, 3)
+        policy_bucketed_mix_fps = round(len(MIXW) * NW / tot_b, 3)
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["eval_policy_mix"] = repr(e)[:160]
+
     # ------------- 2. reference window formulation, same chip --------------
     # test_clip2.py re-encodes clip_num+1 = 4 frames per eval frame; scan
     # over M distinct windows (each its own 4 frames) so nothing hoists.
@@ -362,7 +439,7 @@ def main():
     # exercises the Pallas corr-lookup kernel (ops/pallas/corr.py) inside
     # the jitted step.  Guarded: a failure here must not lose the primary
     # metrics.
-    netwarp_ms = None
+    netwarp_ms = netwarp_train_mfu = None
     try:
         from cvpr2021_vspw_implement_tpu.models.netwarp import (
             NetWarp, netwarp_loss)
@@ -383,11 +460,68 @@ def main():
         nvars = jax.device_put(nvars, dev)
         ntx = create_clip_optimizer(nvars["params"], lr=0.002, max_iters=100)
         nstate = TrainState.create(nvars, ntx)
+        # flops BEFORE the donating chain consumes the state buffers
+        nw_train_flops = None
+        try:
+            nstep_nd = make_train_step(nmodel, ntx, loss_fn=netwarp_loss,
+                                       donate=False)
+            nw_train_flops = _flops_of(jax.jit(
+                lambda s, b, k: nstep_nd(s, b, k)).lower(
+                    nstate, nbatch, key).compile())
+        except Exception as e:
+            ERRORS["netwarp_flops"] = repr(e)[:160]
         nstep = make_train_step(nmodel, ntx, loss_fn=netwarp_loss,
                                 donate=True)
         netwarp_ms = round(chained_ms(nstep, nstate, nbatch, k=4), 1)
+        netwarp_train_mfu = (nw_train_flops / (netwarp_ms / 1e3) / peak
+                             if nw_train_flops else None)
     except Exception as e:  # recorded, not swallowed
         ERRORS["netwarp"] = repr(e)[:160]
+
+    # ---------------- 4b. ETC training step (flow-regularized) -------------
+    # per-pair ST-loss with the frozen 20-iter RAFT inside the jitted step
+    # (reference run_etc.sh recipe shape)
+    etc_train_ms = etc_train_mfu = None
+    try:
+        import functools as _ft
+
+        from cvpr2021_vspw_implement_tpu.models.etc import (ETC as _ETC,
+                                                            etc_loss)
+        etenc = ModelBuilder.build_encoder("resnet101dilated",
+                                           dtype=jnp.bfloat16)
+        etmodel = _ETC(encoder=etenc, num_class=124, fc_dim=2048,
+                       raft_iters=20, dtype=jnp.bfloat16)
+        etimgs = jnp.asarray(
+            rng.standard_normal((2, bb, crop, crop, 3)).astype(np.float32))
+        etlabels = jnp.asarray(rng.integers(0, 124, (2, bb, crop, crop)),
+                               jnp.int32)
+        etbatch = {"img": etimgs, "labels": etlabels}
+        with jax.default_device(jax.devices("cpu")[0]):
+            etvars = etmodel.init({"params": jax.random.PRNGKey(0),
+                                   "dropout": jax.random.PRNGKey(1)},
+                                  jnp.zeros((2, 1, 64, 64, 3), jnp.float32),
+                                  train=True)
+        etvars = jax.device_put(etvars, dev)
+        ettx = create_clip_optimizer(etvars["params"], lr=0.002,
+                                     max_iters=100)
+        etstate = TrainState.create(etvars, ettx)
+        etloss = _ft.partial(etc_loss, deep_sup_scale=0.4, st_weight=0.1)
+        et_flops = None
+        try:
+            etstep_nd = make_train_step(etmodel, ettx, loss_fn=etloss,
+                                        donate=False)
+            et_flops = _flops_of(jax.jit(
+                lambda s, b, k: etstep_nd(s, b, k)).lower(
+                    etstate, etbatch, key).compile())
+        except Exception as e:
+            ERRORS["etc_train_flops"] = repr(e)[:160]
+        etstep = make_train_step(etmodel, ettx, loss_fn=etloss, donate=True)
+        etc_train_ms = round(chained_ms(etstep, etstate, etbatch, k=4), 1)
+        etc_train_mfu = (et_flops / (etc_train_ms / 1e3) / peak
+                         if et_flops else None)
+        del etvars, etstate, etbatch, etimgs, etlabels
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["etc_train"] = repr(e)[:160]
 
     # training states are dead; re-create the single-stream frame stack the
     # per-method serving sections scan over (freed above to keep the train
@@ -645,6 +779,166 @@ def main():
     except Exception as e:  # recorded, not swallowed
         ERRORS["etc"] = repr(e)[:160]
 
+    # ------- 7b. ETC width-bucketed window inference (production path) -----
+    etc_bk_fps = None
+    try:
+        from cvpr2021_vspw_implement_tpu.models.segmentation import (
+            inference_pred_rt)
+        from cvpr2021_vspw_implement_tpu.ops.masked import (bucket_hw,
+                                                            feature_valid)
+        hp, wp = bucket_hw(h, w)
+        winsp = jnp.pad(wins, ((0, 0), (0, 0), (0, 0), (0, hp - h),
+                               (0, wp - w), (0, 0)))
+
+        @jax.jit
+        def etc_bk(winsp, hv, wv):
+            def step(_, win):
+                outs = emodel.apply(evars, win, train=False,
+                                    valid_hw=(hv, wv))
+                logit = outs[0]
+                fv = feature_valid(logit.shape[1], logit.shape[2],
+                                   (hv, wv), (hp, wp))
+                pred = inference_pred_rt(outs, (hp, wp), fv, (hv, wv))
+                return 0, jnp.sum(pred[0, ::97, ::97].astype(jnp.int32))
+            _, sums = jax.lax.scan(step, 0, winsp)
+            return jnp.sum(sums)
+
+        hv, wv = jnp.int32(h), jnp.int32(w)
+        float(etc_bk(winsp, hv, wv))
+        times = []
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            float(etc_bk(winsp, hv, wv))
+            times.append(time.perf_counter() - t0)
+        etc_bk_fps = round(M / min(times), 3)
+        del winsp, wins, evars
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["etc_bucketed"] = repr(e)[:160]
+
+    # ------- 7c. NetWarp streaming inference (production serving path) -----
+    # per-frame work of serving.NetWarpStreamer: encode the target once,
+    # run the frozen 20-iter RAFT + FlowCNN + warped blends against the
+    # cached previous-frame features, decode (predictions identical to the
+    # reference window path — tests/test_golden_eval.py)
+    nw_fps = nw_mfu = nw_bk_fps = None
+    try:
+        from cvpr2021_vspw_implement_tpu.models.netwarp import NetWarp
+        nwenc = ModelBuilder.build_encoder("resnet101dilated",
+                                           dtype=jnp.bfloat16)
+        nwmodel = NetWarp(encoder=nwenc, num_class=124, fc_dim=2048,
+                          raft_iters=20, dtype=jnp.bfloat16)
+        with jax.default_device(jax.devices("cpu")[0]):
+            nwvars = nwmodel.init({"params": jax.random.PRNGKey(0),
+                                   "dropout": jax.random.PRNGKey(1)},
+                                  jnp.zeros((2, 1, 64, 64, 3), jnp.float32),
+                                  train=False)
+        nwvars = jax.device_put(
+            {"params": nwvars["params"],
+             "batch_stats": nwvars.get("batch_stats", {})}, dev)
+
+        def nw_step(carry, img):
+            c5_p, feats_p, prev = carry
+            c5_t, feats_t = nwmodel.apply(nwvars, img, train=False,
+                                          method=nwmodel.encode_frame)
+            pred_logits, _ = nwmodel.apply(nwvars, img, prev, c5_t, c5_p,
+                                           feats_p, train=False,
+                                           method=nwmodel.fuse_pair)
+            pred = inference_pred((pred_logits,), (h, w))
+            return (c5_t, feats_t, img), jnp.sum(
+                pred[0, ::97, ::97].astype(jnp.int32))
+
+        nwframes = jnp.asarray(rng.standard_normal(
+            (32, 1, h, w, 3)).astype(np.float32))
+        carry0 = jax.tree_util.tree_map(
+            lambda x: x, nwmodel.apply(nwvars, nwframes[0], train=False,
+                                       method=nwmodel.encode_frame))
+        carry0 = (carry0[0], carry0[1], nwframes[0])
+        nw_fps, dt = timed_stream(nw_step, carry0, nwframes, 32,
+                                  row="netwarp_stream")
+        fl = _flops_of(jax.jit(nw_step).lower(carry0, nwframes[0])
+                       .compile())
+        nw_mfu = fl * 32 / dt / peak if fl else None
+
+        # bucketed variant: masked encode + the bucket-grid RAFT fuse
+        from cvpr2021_vspw_implement_tpu.serving import NetWarpBucketEngine
+        nweng = NetWarpBucketEngine(nwmodel, nwvars, bucket=64)
+        nwf_np = np.asarray(nwframes)
+        c5_p, feats_p = nweng.encode(nwf_np[0, 0])
+        nweng.fuse(nwf_np[1, 0], nwf_np[0, 0], c5_p, c5_p, feats_p)  # warm
+        times = []
+        for _trial in range(3):
+            t0 = time.perf_counter()
+            prev = nwf_np[0, 0]
+            c5_p, feats_p = nweng.encode(prev)
+            for i in range(1, 17):
+                c5_t, feats_t = nweng.encode(nwf_np[i, 0])
+                nweng.fuse(nwf_np[i, 0], prev, c5_t, c5_p, feats_p)
+                prev, c5_p, feats_p = nwf_np[i, 0], c5_t, feats_t
+            times.append((time.perf_counter() - t0) / 16)
+        nw_bk_fps = round(1.0 / min(times), 3)
+        del nwframes, nwvars, nwf_np
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["netwarp_stream"] = repr(e)[:160]
+
+    # ------- 7d. warp-family + nonlocal3d window inference ------------------
+    # one row per remaining --method eval surface (train_clip2.py:469):
+    # jitted window forward + argmax, scan over distinct windows
+    method_rows = {}
+    try:
+        from cvpr2021_vspw_implement_tpu.models.nonlocal3d import NonLocal3D
+        from cvpr2021_vspw_implement_tpu.models.propnet import PropNet
+        from cvpr2021_vspw_implement_tpu.models.warp_our import ClipWarpNet
+        from cvpr2021_vspw_implement_tpu.models.warp_our_merge import (
+            OurWarpMerge)
+        from cvpr2021_vspw_implement_tpu.models.segmentation import (
+            inference_probs)
+        WM = 8
+        for name, cls, t1 in (("our_warp", ClipWarpNet, 4),
+                              ("propnet", PropNet, 4),
+                              ("our_warp_merge", OurWarpMerge, 4),
+                              ("nonlocal3d", NonLocal3D, 3)):
+            try:
+                wenc = ModelBuilder.build_encoder("resnet101dilated",
+                                                  dtype=jnp.bfloat16)
+                wm = cls(encoder=wenc, num_class=124, fc_dim=2048,
+                         dtype=jnp.bfloat16)
+                with jax.default_device(jax.devices("cpu")[0]):
+                    wvars = wm.init(
+                        {"params": jax.random.PRNGKey(0),
+                         "dropout": jax.random.PRNGKey(1)},
+                        jnp.zeros((t1, 1, 64, 64, 3), jnp.float32),
+                        train=False)
+                wvars = jax.device_put(
+                    {"params": wvars["params"],
+                     "batch_stats": wvars.get("batch_stats", {})}, dev)
+
+                if name == "nonlocal3d":
+                    def wstep(_, win, _wm=wm, _wv=wvars):
+                        outs = _wm.apply(_wv, win, train=False)
+                        # test_all averages per-frame probabilities
+                        probs = inference_probs((outs[-1],), (h, w))
+                        return 0, jnp.sum(
+                            probs[0, ::97, ::97, 0].astype(jnp.float32))
+                else:
+                    def wstep(_, win, _wm=wm, _wv=wvars):
+                        outs = _wm.apply(_wv, win, train=False)
+                        pred = inference_pred(outs, (h, w))
+                        return 0, jnp.sum(
+                            pred[0, ::97, ::97].astype(jnp.int32))
+
+                wwins = jnp.asarray(rng.standard_normal(
+                    (WM, t1, 1, h, w, 3)).astype(np.float32))
+                fps, dt = timed_stream(wstep, 0, wwins, WM, row=name)
+                fl = _flops_of(jax.jit(wstep).lower(0, wwins[0]).compile())
+                method_rows[name + "_windows_per_sec"] = round(fps, 3)
+                method_rows[name + "_mfu"] = (
+                    round(fl * WM / dt / peak, 4) if fl else None)
+                del wwins, wvars
+            except Exception as e:  # per-row guard
+                ERRORS[name] = repr(e)[:160]
+    except Exception as e:  # recorded, not swallowed
+        ERRORS["window_methods"] = repr(e)[:160]
+
     # ------- 8. OCR-head microbench (reference's own harness shape:
     # models/ocr_modules/spatial_ocr_block.py:470-517 — conv3x3 2048→512 +
     # SpatialGather + SpatialOCR at 128x128, batch 1) ----------------------
@@ -768,6 +1062,23 @@ def main():
             if tdnet_bk_fps and tdnet_fps else None),
         "etc_windows_per_sec": rnd(etc_fps, 3),
         "etc_mfu": rnd(etc_mfu),
+        "etc_bucketed_windows_per_sec": etc_bk_fps,
+        "etc_train_step_ms": etc_train_ms,
+        "etc_train_mfu": rnd(etc_train_mfu),
+        "netwarp_train_mfu": rnd(netwarp_train_mfu),
+        # NetWarp production streaming inference (serving.NetWarpStreamer
+        # per-frame work: encode target + 20-iter RAFT fuse vs cached prev)
+        "netwarp_stream_frames_per_sec": rnd(nw_fps, 3),
+        "netwarp_stream_mfu": rnd(nw_mfu),
+        "netwarp_stream_bucketed_frames_per_sec": nw_bk_fps,
+        # eval-shape policy on the width mix (704+853): steady-state
+        # effective f/s; 'auto' routes both common shapes to exact kernels,
+        # so its effective rate is the exact row (compile amortization
+        # measured in tools/eval_policy_micro.py)
+        "eval_policy_exact_mix_fps": policy_exact_mix_fps,
+        "eval_policy_bucketed_mix_fps": policy_bucketed_mix_fps,
+        # remaining --method eval surfaces (train_clip2.py:469)
+        **method_rows,
         "ocr_head_ms": ocr_head_ms,
         # host-side decode+normalize rate on THIS machine's cores (the
         # eval wall clock is min(chip rate, host rate) — cores_needed =
