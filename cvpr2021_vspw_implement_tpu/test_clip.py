@@ -87,11 +87,16 @@ def build_eval_clip_parser():
                         "frames per shape over the val list and compiles "
                         "exact only where >= --exact_min_frames amortize "
                         "the compile (tools/eval_policy_micro.py)")
-    p.add_argument("--exact_min_frames", type=int, default=2000,
+    p.add_argument("--exact_min_frames", type=int, default=15000,
                    help="auto policy: total frames a shape needs across "
                         "the val list before an exact kernel beats the "
-                        "bucketed one (break-even = warm compile seconds / "
-                        "per-frame bucket tax; see ROADMAP r5 measurement)")
+                        "bucketed one.  Measured default (v5e, R101 "
+                        "ClipPSP, tools/eval_policy_micro.py): warm-cache "
+                        "compile 7-34 s/width over a 1.0-2.4 ms/frame "
+                        "bucket tax -> break-even 6k-25k frames/shape; "
+                        "lower it on a second run over the same val list "
+                        "(the persistent cache then makes exact strictly "
+                        "better past ~1k frames)")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return p
 
