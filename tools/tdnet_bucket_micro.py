@@ -120,6 +120,7 @@ def main():
 
     out = {"metric": "tdnet_bucket_attribution", "unit": "ms/frame",
            "shape": f"{h}x{w} -> {hp}x{wp}"}
+    CHAIN = 4  # async dispatches per readback: hides the ~29 ms tunnel
     for stage in ("exact_full", "pad_backbone", "masked_backbone",
                   "bucket_full"):
         run, fr = stage_runner(stage)
@@ -127,8 +128,10 @@ def main():
         best = float("inf")
         for _ in range(5):
             t0 = time.perf_counter()
-            float(run(fr))
-            best = min(best, time.perf_counter() - t0)
+            for _ in range(CHAIN):
+                r = run(fr)
+            float(r)
+            best = min(best, (time.perf_counter() - t0) / CHAIN)
         out[stage + "_ms"] = round(best / N * 1e3, 3)
         print(f"{stage}: {best / N * 1e3:.3f} ms/frame", flush=True)
     print(json.dumps(out))
