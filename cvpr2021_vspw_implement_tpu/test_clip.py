@@ -420,7 +420,7 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             if policy == "exact" or (
                     policy == "auto"
                     and census.get(vshapes.get(video, (h0, w0)), 0)
-                    >= getattr(args, "exact_min_frames", 2000)):
+                    >= getattr(args, "exact_min_frames", 15000)):
                 eng_v = exact_engine
             streamer = stream_cls(model, variables, dilation2,
                                   len(ds), (h0, w0), engine=eng_v)
@@ -474,6 +474,18 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
             return inference_pred_rt((out,), pad_hw, fv, (hv, wv),
                                      align_corners=True), new_state
 
+        # eval-shape policy (VERDICT r4 #9): tdnet's bucket tax is the
+        # worst of the serving rows (trunk mask passes on a thin,
+        # bandwidth-bound resnet18 — tools/tdnet_bucket_micro.py), so
+        # routing dominant shapes to exact kernels pays off soonest here.
+        # td4's exact step IS the per-shape kernel (jit caches per shape,
+        # persistent cache across runs), so 'exact'/'auto' simply drop
+        # the bucket for amortizing shapes.
+        policy = getattr(args, "eval_policy", "bucketed")
+        census, vshapes = None, None
+        if policy == "auto":
+            from .serving import video_shape_census
+            census, vshapes = video_shape_census(args.dataroot, videos)
         for video in videos:
             ds = TestFrameDataset(args.dataroot, video, args)
             eval_video = Evaluator(args.num_class)
@@ -487,6 +499,11 @@ def evaluate_clip(cfg, args, variables=None, logger=None,
 
             h0, w0 = img0.shape[:2]
             bucket = getattr(args, "width_bucket", 0)
+            if policy == "exact" or (
+                    policy == "auto" and census is not None
+                    and census.get(vshapes.get(video, (h0, w0)), 0)
+                    >= getattr(args, "exact_min_frames", 15000)):
+                bucket = 0
             if bucket:
                 from .ops.masked import bucket_hw, pad_to
                 key = bucket_hw(h0, w0, bucket)

@@ -76,6 +76,43 @@ def test_eval_policy_variants_agree(vspw_root):
             results["bucketed"]["Acc"], abs=1e-6), p
 
 
+def test_eval_policy_variants_agree_tdnet(vspw_root):
+    """The tdnet branch honours --eval_policy too (VERDICT r4 #9): its
+    bucket tax is the worst of the serving rows, so exact/auto must be
+    reachable and prediction-identical there as well."""
+    import jax
+    import jax.numpy as jnp
+    from cvpr2021_vspw_implement_tpu.methods import build_method
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet18dilated"
+    cfg.MODEL.fc_dim = 512
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+
+    args0 = _args(vspw_root, "bucketed")
+    args0.method = "tdnet"
+    model, _ = build_method("tdnet", cfg, args0)
+    key = jax.random.PRNGKey(2)
+    sample = jnp.zeros((4, 1, 40, 48, 3), jnp.float32)
+    variables = model.init({"params": key, "dropout": key}, sample,
+                           train=True)
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+
+    results = {}
+    for p in ("bucketed", "exact", "auto"):
+        a = _args(vspw_root, p)
+        a.method = "tdnet"
+        results[p] = evaluate_clip(cfg, a, variables=variables)[0]
+    for p in ("exact", "auto"):
+        assert results[p]["mIoU"] == pytest.approx(
+            results["bucketed"]["mIoU"], abs=1e-6), p
+        assert results[p]["Acc"] == pytest.approx(
+            results["bucketed"]["Acc"], abs=1e-6), p
+
+
 def test_auto_policy_amortization_split(vspw_root):
     """The census routes the 8-frame shape to exact and the 2x3-frame
     shape to bucketed at threshold 6."""
