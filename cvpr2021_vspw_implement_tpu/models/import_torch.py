@@ -895,6 +895,46 @@ def import_nonlocal3d_state_dict(state_dict) -> dict:
     return {"params": params, "batch_stats": stats}
 
 
+def import_nonlocal2d_decoder_state_dict(state_dict) -> dict:
+    """Bare Non_local2d decoder checkpoint (reference:
+    non_local_models.py:115-151 — emb, nonlocalblock.{g,theta,phi,
+    W_z.{0,1}}, last_layer; the test.py ``--load_de`` surface for
+    ``arch_decoder=nonlocal2d``) → flax variables for
+    models.nonlocal_blocks.NonLocal2d.  Same layout as the fused
+    Non_local3d importer's decoder half: 1x1 torch convs inside the NL
+    block are Dense layers here ((out, in, 1, 1) → (in, out))."""
+    params: dict = {}
+    stats: dict = {}
+
+    def dense_kernel(w):
+        return w.reshape(w.shape[0], w.shape[1]).T
+
+    for name, tensor in state_dict.items():
+        name = name.removeprefix("module.")
+        t = np.asarray(tensor.detach().cpu().numpy()
+                       if hasattr(tensor, "detach") else tensor)
+        parts = name.split(".")
+        leaf = parts[-1]
+        if leaf == "num_batches_tracked":
+            continue
+        if parts[0] in ("emb", "last_layer"):
+            _emit_conv(params, [parts[0]], leaf, t)
+        elif parts[0] == "nonlocalblock":
+            if parts[1] in ("g", "theta", "phi"):
+                _set(params, ["nonlocalblock", parts[1],
+                              "kernel" if leaf == "weight" else "bias"],
+                     dense_kernel(t) if leaf == "weight" else t)
+            elif parts[1] == "W_z":
+                if parts[2] == "0":  # Sequential(conv, bn) when bn_layer
+                    _set(params, ["nonlocalblock", "W_z",
+                                  "kernel" if leaf == "weight" else "bias"],
+                         dense_kernel(t) if leaf == "weight" else t)
+                else:
+                    _emit_bn(params, stats, ["nonlocalblock", "W_z_bn"],
+                             leaf, t)
+    return {"params": params, "batch_stats": stats}
+
+
 def import_warp_merge_state_dict(state_dict) -> dict:
     """Fused OurWarpMerge checkpoint (reference: warp_our_merge.py:53-66,
     178-192 — encoder.*, decoder.* (PPM_clip), prop_clip.{emb,emb2}.{0,1},
@@ -1181,6 +1221,8 @@ def import_decoder_by_arch(arch_dec: str, state_dict) -> dict:
     """Dispatch a torch decoder state_dict by decoder arch string
     (the reference's ``--pre_dec`` / ``--load_de`` checkpoints)."""
     arch_dec = arch_dec.lower()
+    if "nonlocal2d" in arch_dec:
+        return import_nonlocal2d_decoder_state_dict(state_dict)
     if "ocr" in arch_dec:
         return import_ocr_decoder_state_dict(state_dict)
     if "deeplab" in arch_dec:

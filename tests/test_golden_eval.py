@@ -123,6 +123,84 @@ def test_golden_frame_eval_psp(tmp_path, dec_arch):
     np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
 
 
+FRAME_COMBOS = [
+    # (arch_encoder, fc_dim, arch_decoder) — the reference test.py surface
+    # (models.py:530-646 build_encoder/build_decoder enums)
+    ("resnet18dilated", 512, "ppm"),
+    ("resnet18dilated", 512, "c1_deepsup"),
+    ("resnet50dilated", 2048, "upernet"),
+    ("resnet50dilated", 2048, "upernet_lite"),
+    ("resnet50dilated", 2048, "deeplab"),
+    ("resnet50dilated", 2048, "ocrnet_deepsup"),
+    ("resnet50dilated", 2048, "nonlocal2d"),
+    ("mobilenetv2dilated", 320, "c1"),
+    ("hrnetv2", 720, "c1"),
+    ("resnext101", 2048, "ppm_deepsup"),
+]
+
+
+@pytest.mark.parametrize("enc_arch,fc_dim,dec_arch", FRAME_COMBOS,
+                         ids=[f"{e}-{d}" for e, _, d in FRAME_COMBOS])
+def test_golden_frame_eval_matrix(tmp_path, enc_arch, fc_dim, dec_arch):
+    """Whole-pipeline golden equality across the frame eval surface: every
+    reference encoder×decoder family test.py can evaluate (models.py
+    build_encoder/build_decoder) produces pixel-identical masks through
+    our CLI from the same torch checkpoints."""
+    root = _fixture(tmp_path, seed=60 + hash((enc_arch, dec_arch)) % 100)
+    video = "video_000"
+
+    mm = _ref_import("models.models")
+    ds2 = _load_ref_toplevel("dataset2.py", "ref_dataset2")
+    rutils = _load_ref_toplevel("utils.py", "ref_utils")
+
+    torch.manual_seed(12)
+    enc = mm.ModelBuilder.build_encoder(enc_arch, fc_dim=fc_dim, weights="")
+    dec = mm.ModelBuilder.build_decoder(dec_arch, fc_dim=fc_dim,
+                                        num_class=K, use_softmax=True)
+    seg = mm.SegmentationModule(enc, dec, torch.nn.NLLLoss(ignore_index=-1))
+    _randomize(seg, seed=53)
+    seg.eval()
+
+    enc_ckpt = str(tmp_path / "encoder_epoch_1.pth")
+    dec_ckpt = str(tmp_path / "decoder_epoch_1.pth")
+    torch.save(enc.state_dict(), enc_ckpt)
+    torch.save(dec.state_dict(), dec_ckpt)
+
+    dargs = argparse.Namespace(lesslabel=False, use_720p=False)
+    ds = ds2.TestDataset(root, video, dargs)
+    ref_ev = rutils.Evaluator(K)
+    ref_ev.reset()
+    ref_preds = {}
+    for i in range(len(ds)):
+        img, gt, gtname = ds[i]
+        feed = {"img_data": img[None], "seg_label": gt[None]}
+        with torch.no_grad():
+            scores = seg(feed, segSize=img.shape[-2:])
+        pred = torch.argmax(scores, dim=1).numpy()[0]
+        ref_ev.add_batch(gt.squeeze(0).numpy()[None], pred[None])
+        ref_preds[gtname] = pred.astype(np.uint8)
+    ref_miou = ref_ev.Mean_Intersection_over_Union()
+
+    from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+    from cvpr2021_vspw_implement_tpu.test import evaluate
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = enc_arch
+    cfg.MODEL.arch_decoder = dec_arch
+    cfg.MODEL.fc_dim = fc_dim
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+    saveroot = str(tmp_path / "preds")
+    args = argparse.Namespace(dataroot=root, split="val", num_class=K,
+                              load="", torch_enc=enc_ckpt,
+                              torch_dec=dec_ckpt, saveroot=saveroot,
+                              lesslabel=False, use_720p=False)
+    metrics, _ = evaluate(cfg, args, max_videos=1, is_save=True)
+
+    _compare_pred_dirs(ref_preds, saveroot, video)
+    np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
+
+
 def test_golden_clip_eval_clip_psp(tmp_path):
     root = _fixture(tmp_path, seed=32)
     video = "video_000"
@@ -364,6 +442,251 @@ def test_golden_clip_eval_netwarp(tmp_path, monkeypatch):
     saveroot = str(tmp_path / "preds")
     args = _clip_args(root, saveroot, "netwarp", fused_ckpt, clip_num=2,
                       streaming=True)
+    metrics, _ = evaluate_clip(cfg, args, max_videos=1, is_save=True)
+
+    _compare_pred_dirs(ref_preds, saveroot, video)
+    np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
+
+
+def test_golden_clip_eval_netwarp_ocr(tmp_path, monkeypatch):
+    """NetWarp-OCR: reference RAFT-coupled window pipeline (netwarp_ocr.py
+    fused module, no separate decoder) vs our production NetWarpStreamer
+    CLI path with the OCR head."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_fused_numeric import _stage_raft_ckpt
+
+    from cvpr2021_vspw_implement_tpu.data import make_synthetic_vspw
+    root = str(tmp_path / "vspw")
+    make_synthetic_vspw(root, 1, 5, (128, 128), K, seed=37)
+    video = "video_000"
+
+    _stage_raft_ckpt(tmp_path, monkeypatch)
+    mm = _ref_import("models.models")
+    ref_nwo = _ref_import("models.netwarp_ocr")
+    ds2 = _load_ref_toplevel("dataset2.py", "ref_dataset2")
+
+    margs = argparse.Namespace(num_class=K, clip_num=2, dilation_num=0,
+                               method="netwarp_ocr", lesslabel=False,
+                               use_720p=False)
+    torch.manual_seed(6)
+    enc = mm.ModelBuilder.build_encoder("resnet50dilated", weights="")
+    tmodel = ref_nwo.NetWarp_ocr(enc, torch.nn.NLLLoss(ignore_index=-1),
+                                 margs, deep_sup_scale=0.4)
+    _randomize(tmodel, seed=47)
+    tmodel.eval()
+    fused_ckpt = str(tmp_path / "model_epoch_1.pth")
+    torch.save(tmodel.state_dict(), fused_ckpt)
+
+    ds = ds2.TestDataset_clip(root, video, margs)
+    ref_miou, ref_preds = _ref_eval_loop(tmodel, ds, K)
+
+    from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet50dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_clip"
+    cfg.MODEL.fc_dim = 2048
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+    saveroot = str(tmp_path / "preds")
+    args = _clip_args(root, saveroot, "netwarp_ocr", fused_ckpt, clip_num=2,
+                      streaming=True)
+    metrics, _ = evaluate_clip(cfg, args, max_videos=1, is_save=True)
+
+    _compare_pred_dirs(ref_preds, saveroot, video)
+    np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
+
+
+def test_golden_clip_eval_etc_ocr(tmp_path, monkeypatch):
+    """ETC-OCR: single-frame inference (ETC_ocr.py fused module) through
+    the reference window pipeline vs our window-loop CLI."""
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_fused_numeric import _stage_raft_ckpt
+
+    root = _fixture(tmp_path, seed=38)
+    video = "video_000"
+
+    _stage_raft_ckpt(tmp_path, monkeypatch)
+    mm = _ref_import("models.models")
+    ref_eo = _ref_import("models.ETC_ocr")
+    ds2 = _load_ref_toplevel("dataset2.py", "ref_dataset2")
+
+    margs = argparse.Namespace(num_class=K, clip_num=2, dilation_num=0,
+                               st_weight=0.1, method="etc_ocr",
+                               lesslabel=False, use_720p=False)
+    torch.manual_seed(7)
+    enc = mm.ModelBuilder.build_encoder("resnet50dilated", weights="")
+    tmodel = ref_eo.ETC_ocr(enc, torch.nn.NLLLoss(ignore_index=-1),
+                            margs, deep_sup_scale=0.4)
+    _randomize(tmodel, seed=48)
+    tmodel.eval()
+    fused_ckpt = str(tmp_path / "model_epoch_1.pth")
+    torch.save(tmodel.state_dict(), fused_ckpt)
+
+    ds = ds2.TestDataset_clip(root, video, margs)
+    ref_miou, ref_preds = _ref_eval_loop(tmodel, ds, K)
+
+    from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet50dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_clip"
+    cfg.MODEL.fc_dim = 2048
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+    saveroot = str(tmp_path / "preds")
+    args = _clip_args(root, saveroot, "etc_ocr", fused_ckpt, clip_num=2)
+    metrics, _ = evaluate_clip(cfg, args, max_videos=1, is_save=True)
+
+    _compare_pred_dirs(ref_preds, saveroot, video)
+    np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
+
+
+def _warp_family_golden(tmp_path, method, ref_modname, ref_clsname,
+                        dec_arch, seed, torch_seed, rand_seed,
+                        needs_decoder=True):
+    """Shared golden-eval body for the local cost-volume family
+    (our_warp / propnet / our_warp_merge; reference test_clip2.py:241-249
+    model build + test() loop over TestDataset_clip)."""
+    root = _fixture(tmp_path, seed=seed)
+    video = "video_000"
+
+    mm = _ref_import("models.models")
+    ref_mod = _ref_import(ref_modname)
+    ds2 = _load_ref_toplevel("dataset2.py", "ref_dataset2")
+
+    margs = argparse.Namespace(
+        num_class=K, clip_num=3, dilation_num=0, fix=False,
+        max_distances=[2], linear_combine=False, distsoftmax=False,
+        distnearest=False, temp=3.0, allsup=False, allsup_scale=1.0,
+        method=method, lesslabel=False, use_720p=False)
+    torch.manual_seed(torch_seed)
+    enc = mm.ModelBuilder.build_encoder("resnet50dilated", weights="")
+    dec = mm.ModelBuilder.build_decoder(dec_arch, fc_dim=2048,
+                                        num_class=K, use_softmax=True)
+    tmodel = getattr(ref_mod, ref_clsname)(
+        enc, dec, torch.nn.NLLLoss(ignore_index=-1), margs,
+        deep_sup_scale=0.4)
+    _randomize(tmodel, seed=rand_seed)
+    tmodel.eval()
+    fused_ckpt = str(tmp_path / "model_epoch_1.pth")
+    torch.save(tmodel.state_dict(), fused_ckpt)
+
+    ds = ds2.TestDataset_clip(root, video, margs)
+    ref_miou, ref_preds = _ref_eval_loop(tmodel, ds, K)
+
+    from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet50dilated"
+    cfg.MODEL.arch_decoder = dec_arch
+    cfg.MODEL.fc_dim = 2048
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+    saveroot = str(tmp_path / "preds")
+    args = _clip_args(root, saveroot, method, fused_ckpt, clip_num=3,
+                      max_distances=[2])
+    metrics, _ = evaluate_clip(cfg, args, max_videos=1, is_save=True)
+
+    _compare_pred_dirs(ref_preds, saveroot, video)
+    np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
+
+
+def test_golden_clip_eval_our_warp(tmp_path):
+    """our_warp (ClipWarpNet local cost-volume warp): reference window
+    pipeline vs our window-loop CLI — pixel-identical."""
+    _warp_family_golden(tmp_path, "our_warp", "models.models",
+                        "ClipWarpNet", "ppm_deepsup_clip",
+                        seed=39, torch_seed=8, rand_seed=49)
+
+
+def test_golden_clip_eval_propnet(tmp_path):
+    """propnet (class-masked label propagation): reference window pipeline
+    vs our window-loop CLI — pixel-identical."""
+    _warp_family_golden(tmp_path, "propnet", "models.propnet",
+                        "PropNet", "ppm_deepsup_clip",
+                        seed=40, torch_seed=9, rand_seed=50)
+
+
+def test_golden_clip_eval_our_warp_merge(tmp_path):
+    """our_warp_merge (first-neighbor merge variant, ppm_clip decoder):
+    reference window pipeline vs our window-loop CLI — pixel-identical."""
+    _warp_family_golden(tmp_path, "our_warp_merge", "models.warp_our_merge",
+                        "OurWarpMerge", "ppm_clip",
+                        seed=41, torch_seed=10, rand_seed=51)
+
+
+def test_golden_clip_eval_nonlocal3d(tmp_path):
+    """nonlocal3d: the reference's score-averaging ``test_all`` loop
+    (test_clip2.py:90-195 — every frame's softmax scores accumulate over
+    the clip_num windows containing it) vs our _test_all_nonlocal3d CLI
+    path — pixel-identical masks and mIoU."""
+    root = _fixture(tmp_path, seed=42)
+    video = "video_000"
+
+    mm = _ref_import("models.models")
+    ref_nl = _ref_import("models.non_local_models")
+    ds2 = _load_ref_toplevel("dataset2.py", "ref_dataset2")
+    rutils = _load_ref_toplevel("utils.py", "ref_utils")
+
+    margs = argparse.Namespace(num_class=K, clip_num=3, dilation_num=0,
+                               method="nonlocal3d", lesslabel=False,
+                               use_720p=False)
+    torch.manual_seed(11)
+    enc = mm.ModelBuilder.build_encoder("resnet50dilated", weights="")
+    tmodel = ref_nl.Non_local3d(margs, enc, torch.nn.NLLLoss(ignore_index=-1))
+    _randomize(tmodel, seed=52)
+    tmodel.eval()
+    fused_ckpt = str(tmp_path / "model_epoch_1.pth")
+    torch.save(tmodel.state_dict(), fused_ckpt)
+
+    # ---- reference test_all loop (batchsize=1) ----------------------------
+    ds = ds2.TestDataset_clip(root, video, margs)
+    ev = rutils.Evaluator(K)
+    ev.reset()
+    gt_dic, pred_dic, done, ref_preds = {}, {}, set(), {}
+
+    def _flush(nn):
+        tmp = torch.cat(pred_dic.pop(nn), dim=0).mean(dim=0, keepdim=True)
+        pred = torch.argmax(tmp, dim=1).numpy()[0]
+        gt = gt_dic[nn].numpy()[0]
+        ev.add_batch(gt[None], pred[None])
+        ref_preds[nn.split(".")[0] + ".png"] = pred.astype(np.uint8)
+        done.add(nn)
+
+    with torch.no_grad():
+        for i in range(len(ds)):
+            img, gt, clips, cliplabs, names = ds[i]
+            h, w = img.shape[-2:]
+            feed = {"clipimgs_data": [c[None] for c in clips],
+                    "cliplabels_data": [l[None] for l in cliplabs]}
+            scores = tmodel(feed, segSize=(h, w))  # list of T [1,K,H,W]
+            for t, nn in enumerate(names):
+                if nn in done:
+                    continue
+                gt_dic.setdefault(nn, cliplabs[t])  # [1,H,W]
+                pred_dic.setdefault(nn, []).append(scores[t])
+                if len(pred_dic[nn]) > margs.clip_num - 1:
+                    _flush(nn)
+    for nn in list(pred_dic):
+        _flush(nn)
+    ref_miou = ev.Mean_Intersection_over_Union()
+
+    # ---- our CLI test_all eval, same fused checkpoint ----------------------
+    from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet50dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_clip"
+    cfg.MODEL.fc_dim = 2048
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+    saveroot = str(tmp_path / "preds")
+    args = _clip_args(root, saveroot, "nonlocal3d", fused_ckpt, clip_num=3)
     metrics, _ = evaluate_clip(cfg, args, max_videos=1, is_save=True)
 
     _compare_pred_dirs(ref_preds, saveroot, video)
