@@ -348,6 +348,55 @@ def test_golden_clip_eval_clip_ocr(tmp_path, streaming):
     np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
 
 
+def test_golden_clip_eval_clip_ocr_memory(tmp_path):
+    """TCB-OCR with the cross-frame memory ring (--use_memory): the
+    reference keeps a stateful list of detached OCR contexts on the module
+    (clip_ocr.py:124-128, spatial_ocr_block.py:96-126; the eval loop sets
+    is_clean_memory on each video's first frame, test_clip2.py:46-51).
+    memory_num=3 over an 8-frame video exercises the ring's pop path.
+    Oracle vs our CLI's functional memory carry — pixel-identical."""
+    root = _fixture(tmp_path, seed=43)
+    video = "video_000"
+
+    mm = _ref_import("models.models")
+    ref_clip_ocr = _ref_import("models.clip_ocr")
+    ds2 = _load_ref_toplevel("dataset2.py", "ref_dataset2")
+
+    margs = argparse.Namespace(num_class=K, use_memory=True, memory_num=3,
+                               clipocr_all=False, clip_num=4,
+                               dilation2="1,2,3", lesslabel=False,
+                               use_720p=False)
+    torch.manual_seed(13)
+    enc = mm.ModelBuilder.build_encoder("resnet50dilated", weights="")
+    tmodel = ref_clip_ocr.ClipOCRNet(enc, torch.nn.NLLLoss(ignore_index=255),
+                                     margs, deep_sup_scale=0.4)
+    _randomize(tmodel, seed=54)
+    tmodel.eval()
+    fused_ckpt = str(tmp_path / "model_epoch_1.pth")
+    torch.save(tmodel.state_dict(), fused_ckpt)
+
+    ds = ds2.TestDataset_longclip(root, video, margs)
+    ref_miou, ref_preds = _ref_eval_loop(
+        tmodel, ds, K, feed_extra=lambda i: {"is_clean_memory": i == 0})
+
+    from cvpr2021_vspw_implement_tpu.config import cfg as default_cfg
+    from cvpr2021_vspw_implement_tpu.test_clip import evaluate_clip
+
+    cfg = default_cfg.clone()
+    cfg.MODEL.arch_encoder = "resnet50dilated"
+    cfg.MODEL.arch_decoder = "ppm_deepsup_clip"
+    cfg.MODEL.fc_dim = 2048
+    cfg.TPU.compute_dtype = "float32"
+    cfg.TPU.remat = False
+    saveroot = str(tmp_path / "preds")
+    args = _clip_args(root, saveroot, "clip_ocr", fused_ckpt,
+                      use_memory=True, memory_num=3)
+    metrics, _ = evaluate_clip(cfg, args, max_videos=1, is_save=True)
+
+    _compare_pred_dirs(ref_preds, saveroot, video)
+    np.testing.assert_allclose(metrics["mIoU"], ref_miou, atol=1e-9)
+
+
 def test_golden_clip_eval_etc(tmp_path, monkeypatch):
     """ETC: inference is single-frame (reference ETC.py:181-189); the
     reference pipeline over TestDataset_clip vs our window-loop CLI."""
