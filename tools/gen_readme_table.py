@@ -75,12 +75,44 @@ def render(d: dict) -> str:
         "blocks)",
         f"{fmt(d.get('tdnet_frames_per_sec'))} frames/sec; 4-stream "
         f"{fmt(d.get('tdnet_stream4_frames_per_sec'))}{td_extra}")
+    etc_extra = ""
+    if d.get("etc_bucketed_windows_per_sec"):
+        etc_extra = (f"; bucketed {fmt(d['etc_bucketed_windows_per_sec'])}")
     row("ETC window inference",
         f"{fmt(d.get('etc_windows_per_sec'))} windows/sec at "
-        f"{pct(d.get('etc_mfu'))} MFU")
+        f"{pct(d.get('etc_mfu'))} MFU{etc_extra}")
+    if d.get("netwarp_stream_frames_per_sec"):
+        nw_extra = ""
+        if d.get("netwarp_stream_bucketed_frames_per_sec"):
+            nw_extra = (f"; bucketed "
+                        f"{fmt(d['netwarp_stream_bucketed_frames_per_sec'])}")
+        row("NetWarp streaming inference (encode target + 20-iter RAFT, "
+            "cached prev features)",
+            f"{fmt(d['netwarp_stream_frames_per_sec'])} frames/sec at "
+            f"{pct(d.get('netwarp_stream_mfu'))} MFU{nw_extra}")
+    nw_mfu = (f" at {pct(d['netwarp_train_mfu'])} MFU"
+              if d.get("netwarp_train_mfu") else "")
     row("NetWarp training step (frozen 20-iter RAFT + R101 + warps), "
         "479² pair",
-        f"**{fmt(d.get('netwarp_train_step_ms'))} ms/step** per chip")
+        f"**{fmt(d.get('netwarp_train_step_ms'))} ms/step**{nw_mfu} per chip")
+    if d.get("etc_train_step_ms"):
+        row("ETC training step (clip + ST-MSE temporal loss), 479²",
+            f"{fmt(d['etc_train_step_ms'])} ms/step at "
+            f"{pct(d.get('etc_train_mfu'))} MFU")
+    if d.get("eval_policy_exact_mix_fps"):
+        row("Eval-shape policy on the 704+853 width mix (steady state)",
+            f"exact kernels {fmt(d['eval_policy_exact_mix_fps'])} frames/sec "
+            f"vs bucketed {fmt(d.get('eval_policy_bucketed_mix_fps'))} — "
+            "`--eval_policy auto` routes amortizing shapes to exact "
+            "(compile amortization: tools/eval_policy_micro.py)")
+    wm = [(n, d.get(f"{n}_windows_per_sec"), d.get(f"{n}_mfu"))
+          for n in ("our_warp", "propnet", "our_warp_merge", "nonlocal3d")]
+    wm = [(n, v, m) for n, v, m in wm if v]
+    if wm:
+        row("Remaining `--method` window-eval surfaces (R101, 480×853)",
+            "; ".join(f"{n} {fmt(v)} windows/sec"
+                      + (f" at {pct(m)} MFU" if m else "")
+                      for n, v, m in wm))
     row("OCR-head microbench (reference's own harness shape, "
         "spatial_ocr_block.py:502-517)",
         f"{fmt(d.get('ocr_head_ms'))} ms")
