@@ -1147,5 +1147,28 @@ def _archive_run(out, d="bench_runs"):
         json.dump(out, f, indent=1)
 
 
+def _main_with_tunnel_retry(attempts=3):
+    """The axon tunnel's remote_compile endpoint occasionally drops the
+    HTTP response mid-compile ("response body closed before all bytes
+    were read"), killing an otherwise-healthy run.  Since the persistent
+    compile cache (/root/repo/.jax_cache) makes every already-compiled
+    program free on a rerun, the cheapest robust recovery is to retry
+    the whole bench on a transport error."""
+    for attempt in range(attempts):
+        try:
+            return main()
+        except Exception as e:  # noqa: BLE001 — inspect and re-raise below
+            msg = repr(e)
+            transient = any(s in msg for s in (
+                "remote_compile", "read body", "response body closed",
+                "Connection reset", "EOF occurred"))
+            if not transient or attempt == attempts - 1:
+                raise
+            ERRORS.clear()
+            print(f"# transient tunnel error (attempt {attempt + 1}/"
+                  f"{attempts}), retrying: {msg[:120]}", flush=True)
+            time.sleep(20)
+
+
 if __name__ == "__main__":
-    main()
+    _main_with_tunnel_retry()
