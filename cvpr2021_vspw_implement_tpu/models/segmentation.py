@@ -159,15 +159,18 @@ def segmentation_loss(outputs, label: jnp.ndarray,
     return loss, acc
 
 
-def inference_probs(outputs, seg_size: tuple[int, int]) -> jnp.ndarray:
+def inference_probs(outputs, seg_size: tuple[int, int],
+                    precision=None) -> jnp.ndarray:
     """Softmax probabilities at seg_size (reference: models/models.py:109-111)."""
     logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
-    x = resize_bilinear(logits.astype(jnp.float32), seg_size)
+    x = resize_bilinear(logits.astype(jnp.float32), seg_size,
+                        precision=precision)
     return jax.nn.softmax(x, axis=-1)
 
 
 def inference_pred(outputs, seg_size: tuple[int, int],
-                   align_corners: bool = False) -> jnp.ndarray:
+                   align_corners: bool = False,
+                   precision=None) -> jnp.ndarray:
     """Argmax prediction at seg_size.
 
     Identical to ``argmax(inference_probs(...))`` (softmax is monotone; the
@@ -176,10 +179,16 @@ def inference_pred(outputs, seg_size: tuple[int, int],
     full probability volume.  Use for plain eval; use ``inference_probs``
     when probabilities must be averaged across windows (nonlocal3d
     ``test_all``, reference: test_clip2.py:90-195).
+
+    ``precision``: forwarded to the resize einsums.  TPU default precision
+    rounds the f32 logits to bf16 in the MXU, which can flip the argmax at
+    near-tie pixels (0.69% on random N(0,1) logits, 0 at trained-logit
+    margins; tools/pred_micro.py); ``jax.lax.Precision.HIGHEST`` makes the
+    interpolation exact-f32 for +0.35 ms/frame.
     """
     logits = outputs[0] if isinstance(outputs, (tuple, list)) else outputs
     x = resize_bilinear(logits.astype(jnp.float32), seg_size,
-                        align_corners=align_corners)
+                        align_corners=align_corners, precision=precision)
     return jnp.argmax(x, axis=-1).astype(jnp.uint8)
 
 

@@ -55,11 +55,17 @@ def _nearest_weights(in_size: int, out_size: int) -> np.ndarray:
 
 
 def resize_bilinear(x: jnp.ndarray, size: tuple[int, int],
-                    align_corners: bool = False) -> jnp.ndarray:
+                    align_corners: bool = False,
+                    precision=None) -> jnp.ndarray:
     """Bilinear resize of [N, H, W, C] (or [H, W, C]) to ``size`` = (h, w).
 
     Matches ``torch.nn.functional.interpolate(mode='bilinear')`` bit-for-bit
     in exact arithmetic (no antialiasing on downsample, half-pixel centers).
+    On TPU the default-precision MXU einsum rounds f32 operands to bf16;
+    pass ``precision=jax.lax.Precision.HIGHEST`` for exact-f32 interpolation
+    (measured +0.35 ms on the 480x853 prediction resize, tools/
+    pred_micro.py — cosmetic when the upstream network already computes in
+    bf16, which is why the serving default stays fast).
     """
     squeeze = x.ndim == 3
     if squeeze:
@@ -72,10 +78,72 @@ def resize_bilinear(x: jnp.ndarray, size: tuple[int, int],
     xf = x.astype(jnp.float32)
     if h != out_h:
         wh = jnp.asarray(_linear_weights(h, out_h, align_corners))
-        xf = jnp.einsum("oh,nhwc->nowc", wh, xf)
+        xf = jnp.einsum("oh,nhwc->nowc", wh, xf, precision=precision)
     if w != out_w:
         ww = jnp.asarray(_linear_weights(w, out_w, align_corners))
-        xf = jnp.einsum("ow,nhwc->nhoc", ww, xf)
+        xf = jnp.einsum("ow,nhwc->nhoc", ww, xf, precision=precision)
+    out = xf.astype(dt)
+    return out[0] if squeeze else out
+
+
+@functools.lru_cache(maxsize=None)
+def _linear_taps(in_size: int, out_size: int, align_corners: bool):
+    """Per-output (idx0, idx1, lam) for torch linear interpolation.
+
+    Same tap positions/weights as the rows of ``_linear_weights`` — the
+    matmul there has exactly these two non-zeros per row — expressed as
+    static gather indices so XLA can fuse the 2-tap lerp into the consumer
+    instead of running a dense [out, in] matmul.
+    """
+    i0 = np.zeros(out_size, np.int32)
+    i1 = np.zeros(out_size, np.int32)
+    lam = np.zeros(out_size, np.float32)
+    for i in range(out_size):
+        if align_corners:
+            src = i * (in_size - 1) / max(out_size - 1, 1)
+        else:
+            src = max(0.0, (i + 0.5) * in_size / out_size - 0.5)
+        x0 = min(int(np.floor(src)), in_size - 1)
+        i0[i] = x0
+        i1[i] = min(x0 + 1, in_size - 1)
+        lam[i] = src - x0
+    return i0, i1, lam
+
+
+def resize_bilinear_taps(x: jnp.ndarray, size: tuple[int, int],
+                         align_corners: bool = False) -> jnp.ndarray:
+    """``resize_bilinear`` as two static 2-tap gathers instead of dense
+    matmuls.  MEASURED SLOWER on TPU — kept as the exact-f32 oracle, not a
+    production path.
+
+    Identical interpolation formula (the matmul rows hold exactly these two
+    weights; fp-zero terms don't perturb the sum) in true f32 VPU
+    arithmetic, with ~in_size/2 x fewer FLOPs.  But on v5e the static
+    gathers lose to the MXU contraction despite the FLOP gap: 1.67 vs 0.64
+    ms/frame for the 60x107x124 -> 480x853 prediction (tools/pred_micro.py)
+    — the same verdict as the RAFT corr lookup in round 3, where one-hot
+    MXU matmuls beat gathers 3.3x.  Production prediction stays on
+    ``resize_bilinear``; this variant serves as the bit-exact f32 reference
+    in the micro's argmax-mismatch count (default-precision MXU resize
+    flips 0.69% of pixels on random near-tie logits; HIGHEST flips 2e-7).
+    """
+    squeeze = x.ndim == 3
+    if squeeze:
+        x = x[None]
+    n, h, w, c = x.shape
+    out_h, out_w = size
+    if (h, w) == (out_h, out_w):
+        return x[0] if squeeze else x
+    dt = x.dtype
+    xf = x.astype(jnp.float32)
+    if h != out_h:
+        i0, i1, lam = _linear_taps(h, out_h, align_corners)
+        lam = jnp.asarray(lam)[:, None, None]
+        xf = xf[:, i0] * (1.0 - lam) + xf[:, i1] * lam
+    if w != out_w:
+        i0, i1, lam = _linear_taps(w, out_w, align_corners)
+        lam = jnp.asarray(lam)[:, None]
+        xf = xf[:, :, i0] * (1.0 - lam) + xf[:, :, i1] * lam
     out = xf.astype(dt)
     return out[0] if squeeze else out
 

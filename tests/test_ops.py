@@ -41,6 +41,35 @@ def test_resize_bilinear_matches_torch(in_hw, out_hw):
     np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("in_hw,out_hw,ac", [
+    ((7, 9), (14, 18), False), ((60, 107), (480, 853), False),
+    ((13, 17), (5, 6), False), ((6, 5), (11, 9), True),
+    ((1, 1), (4, 4), False),
+])
+def test_resize_bilinear_taps_equals_matmul(in_hw, out_hw, ac):
+    """The 2-tap gather oracle computes the identical interpolation (the
+    matmul rows hold exactly these two non-zeros); on CPU both are true
+    f32, so they agree to summation-order ulps."""
+    from cvpr2021_vspw_implement_tpu.ops.interpolate import (
+        resize_bilinear_taps)
+    x = RNG.standard_normal((2, *in_hw, 3), dtype=np.float32)
+    a = np.asarray(resize_bilinear(jnp.asarray(x), out_hw, align_corners=ac))
+    b = np.asarray(resize_bilinear_taps(jnp.asarray(x), out_hw,
+                                        align_corners=ac))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
+def test_resize_bilinear_precision_kwarg():
+    """HIGHEST-precision resize is accepted and exact on CPU (the knob
+    exists for TPU, where default MXU precision rounds f32 to bf16)."""
+    import jax
+    x = RNG.standard_normal((1, 6, 5, 2), dtype=np.float32)
+    a = np.asarray(resize_bilinear(jnp.asarray(x), (11, 9)))
+    b = np.asarray(resize_bilinear(jnp.asarray(x), (11, 9),
+                                   precision=jax.lax.Precision.HIGHEST))
+    np.testing.assert_allclose(a, b, rtol=1e-6, atol=1e-6)
+
+
 def test_resize_bilinear_align_corners_true():
     x = RNG.standard_normal((1, 6, 5, 2), dtype=np.float32)
     ours = np.asarray(resize_bilinear(jnp.asarray(x), (11, 9), align_corners=True))
