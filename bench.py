@@ -191,6 +191,40 @@ def main():
     except Exception:
         pass
 
+    # -------- 1b2. opt-in int8 quantized streaming (--serve_dtype int8:
+    # wide spatial convs as s8xs8->s32 with dynamic activation quant —
+    # ops/quant.py; an accuracy trade, reported alongside, never the
+    # headline). --------
+    int8_fps = None
+    try:
+        from cvpr2021_vspw_implement_tpu.ops.quant import int8_trunk
+
+        @jax.jit
+        def run_int8(frames, blended0):
+            def step(blended_prev, img):
+                with int8_trunk():
+                    c5, pooled = model.apply(variables, img, train=False,
+                                             method=model.encode_frame)
+                    blended = [jnp.mean(jnp.stack([p, q]), 0)
+                               for p, q in zip(pooled, blended_prev)]
+                    logits = model.apply(variables, c5, blended,
+                                         train=False,
+                                         method=model.fuse_target)
+                pred = inference_pred((logits,), (h, w))
+                return pooled, jnp.sum(pred[0, ::97, ::97].astype(jnp.int32))
+            _, sums = jax.lax.scan(step, blended0, frames)
+            return jnp.sum(sums)
+
+        float(run_int8(frames, pooled0))
+        best8 = float("inf")
+        for _trial in range(3):
+            start = time.perf_counter()
+            float(run_int8(frames, pooled0))
+            best8 = min(best8, time.perf_counter() - start)
+        int8_fps = round(N / best8, 3)
+    except Exception:
+        pass
+
     # -------- 1c. width-bucketed masked streaming (the PRODUCTION eval
     # path: test_clip.py --width_bucket 64 pads 480x853 to the 512x896
     # bucket and passes the true size as runtime scalars; the masked
@@ -1027,6 +1061,11 @@ def main():
         "tflops_per_sec": rnd(stream_flops / stream_dt / 1e12
                               if stream_flops else None, 2),
         "stream4_frames_per_sec": stream4_fps,
+        # opt-in quantized serving (--serve_dtype int8, ops/quant.py):
+        # NOT bit-identical to bf16 — an accuracy/throughput trade
+        "int8_stream_frames_per_sec": int8_fps,
+        "int8_speedup": (round(int8_fps / stream_fps, 3)
+                         if int8_fps else None),
         # production (width-bucketed masked) eval-path rows: 480x853 padded
         # to the 512x896 bucket, true size as runtime scalars; the pct is
         # the overhead vs the exact-shape kernel above

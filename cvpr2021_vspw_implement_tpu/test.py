@@ -46,6 +46,11 @@ def build_eval_parser():
                              "reuse one compiled kernel per bucket "
                              "(ops/masked.py; 0 = compile per distinct "
                              "shape); predictions are bit-identical")
+    parser.add_argument("--serve_dtype", choices=("bf16", "int8"),
+                        default="bf16",
+                        help="'int8' quantizes the wide spatial convs for "
+                             "serving (ops/quant.py; accuracy/throughput "
+                             "trade, see test_clip.py --serve_dtype)")
     parser.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return parser
 
@@ -65,6 +70,17 @@ UNBUCKETED_ENCODERS = ("hrnetv2_clip",)
 def evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
              is_save: bool = False):
     """Returns (metrics dict, per-video mIoU dict)."""
+    if getattr(args, "serve_dtype", "bf16") == "int8":
+        # opt-in quantized serving (see test_clip.py / ops/quant.py)
+        from .ops.quant import int8_trunk
+        with int8_trunk():
+            return _evaluate(cfg, args, variables, logger, max_videos,
+                             is_save)
+    return _evaluate(cfg, args, variables, logger, max_videos, is_save)
+
+
+def _evaluate(cfg, args, variables=None, logger=None, max_videos: int = 0,
+              is_save: bool = False):
     logger = logger or setup_logger()
     dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else None
     enc = ModelBuilder.build_encoder(cfg.MODEL.arch_encoder,

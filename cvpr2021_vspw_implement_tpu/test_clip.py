@@ -97,6 +97,15 @@ def build_eval_clip_parser():
                         "lower it on a second run over the same val list "
                         "(the persistent cache then makes exact strictly "
                         "better past ~1k frames)")
+    p.add_argument("--serve_dtype", choices=("bf16", "int8"),
+                   default="bf16",
+                   help="'int8' quantizes the wide spatial convs for "
+                        "serving (dynamic per-tensor activations, "
+                        "per-channel weights; ops/quant.py) — measured "
+                        "1.17x on the flagship streaming step with 97%% "
+                        "argmax agreement at random-weight (worst-case) "
+                        "margins (tools/int8_trunk_micro.py).  An "
+                        "accuracy/throughput TRADE, never a default")
     p.add_argument("opts", default=None, nargs=argparse.REMAINDER)
     return p
 
@@ -156,6 +165,20 @@ def _test_all_nonlocal3d(args, video, infer, evaluator, palette, logger,
 
 def evaluate_clip(cfg, args, variables=None, logger=None,
                   max_videos: int = 0, is_save: bool = False):
+    if getattr(args, "serve_dtype", "bf16") == "int8":
+        # opt-in quantized serving: every jitted step traced inside this
+        # context runs its wide spatial convs as s8xs8->s32 (ops/quant.py;
+        # measured 1.17x end-to-end on the flagship streaming step,
+        # tools/int8_trunk_micro.py) — predictions are NOT bit-identical
+        from .ops.quant import int8_trunk
+        with int8_trunk():
+            return _evaluate_clip(cfg, args, variables, logger,
+                                  max_videos, is_save)
+    return _evaluate_clip(cfg, args, variables, logger, max_videos, is_save)
+
+
+def _evaluate_clip(cfg, args, variables=None, logger=None,
+                   max_videos: int = 0, is_save: bool = False):
     logger = logger or setup_logger()
     dtype = jnp.bfloat16 if cfg.TPU.compute_dtype == "bfloat16" else None
     # eval always runs the standard (unpipelined) layout: checkpoints from a

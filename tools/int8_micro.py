@@ -26,7 +26,16 @@ Verdict drives whether `--serve_dtype int8` gets built: a quantized
 engine only pays if the pure-int8 column shows >=1.4x on the 3x3
 bottleneck convs where the serving FLOPs live.
 
-Run: `timeout 2400 python tools/int8_micro.py`.
+MEASUREMENT CAVEAT (first run, kept for the record): the single-conv-
+per-scan-step numbers all landed at 0.45-0.70 ms regardless of FLOPs
+(3.4-30 GF) while the full 599-GF trunk runs 4.54 ms — i.e. a ~0.45 ms
+per-step floor dominates an isolated conv, so those ratios (1.0-1.16x)
+are floor-compressed.  The CHAIN section below is the authoritative
+comparison: 32 dependent convs per scan step (requantizing between
+layers on the int8 path, exactly as a quantized network would), so
+compute dominates the floor, plus an explicit empty-chain floor row.
+
+Run: `timeout 3000 python tools/int8_micro.py`.
 """
 
 import json
@@ -127,6 +136,81 @@ def main():
               flush=True)
 
     print(json.dumps(out))
+
+    # ---- chained comparison: compute dominates the per-step floor ----
+    CH = 32
+    N2 = 8
+    chain_out = {"metric": "int8_conv_chain_micro", "chain_len": CH,
+                 "scan_steps": N2}
+
+    def timed_chain(step_body, xs, k):
+        @jax.jit
+        def run(xs, k):
+            def step(c, x):
+                y = jax.lax.fori_loop(
+                    0, CH, lambda i, v: step_body(v, k), x)
+                return c, jnp.sum(y[:, ::31, ::31].astype(jnp.float32))
+            _, sums = jax.lax.scan(step, 0.0, xs)
+            return jnp.sum(sums)
+
+        s = run(xs, k)
+        float(s)
+        best = float("inf")
+        for _ in range(4):
+            t0 = time.perf_counter()
+            s = run(xs, k)
+            float(s)
+            best = min(best, (time.perf_counter() - t0) / (N2 * CH))
+        return best
+
+    for name in ("l3_3x3", "l4_3x3", "l4_1x1e_sq"):
+        if name == "l4_1x1e_sq":
+            # square 1x1 so the chain type-checks: 512->512
+            xs_shape, ks, dil = (1, H, W, 512), (1, 1, 512, 512), 1
+        else:
+            xs_shape, ks, dil = shapes[name]
+            if ks[2] != ks[3]:
+                continue
+        xstack = jnp.asarray(
+            rng.standard_normal((N2,) + xs_shape), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal(ks) * 0.02, jnp.bfloat16)
+        xqstack = jnp.asarray(
+            rng.integers(-127, 127, (N2,) + xs_shape), jnp.int8)
+        kq = jnp.asarray(rng.integers(-127, 127, ks), jnp.int8)
+        fan = ks[0] * ks[1] * ks[2]
+        requant = jnp.float32(1.0 / (42.3 * np.sqrt(fan)))
+
+        def bf16_step(v, k, d=dil):
+            return conv(v, k, d).astype(jnp.bfloat16)
+
+        def int8_step(v, kq, d=dil):
+            y = conv(v, kq, d)  # s32
+            return jnp.clip(jnp.round(y.astype(jnp.float32) * requant),
+                            -127, 127).astype(jnp.int8)
+
+        t_b = timed_chain(bf16_step, xstack, k)
+        t_q = timed_chain(int8_step, xqstack, kq)
+        gf = (2 * xs_shape[1] * xs_shape[2] * fan * ks[3]) / 1e9
+        chain_out[name] = {
+            "gflops": round(gf, 1),
+            "bf16_ms": round(t_b * 1e3, 4),
+            "int8_ms": round(t_q * 1e3, 4),
+            "speedup": round(t_b / t_q, 2),
+            "bf16_tflops": round(gf / t_b / 1e3, 1),
+            "int8_tops": round(gf / t_q / 1e3, 1)}
+        print(f"chain {name}: bf16 {t_b*1e3:.4f} ms/conv "
+              f"({gf/t_b/1e3:.0f} TF/s), int8+requant {t_q*1e3:.4f} "
+              f"({gf/t_q/1e3:.0f} TOPS, {t_b/t_q:.2f}x)", flush=True)
+
+    # empty-chain floor: same scan/loop scaffolding, no conv
+    xstack = jnp.asarray(
+        rng.standard_normal((N2, 1, H, W, 256)), jnp.bfloat16)
+    k0 = jnp.asarray(rng.standard_normal((3, 3, 256, 256)) * 0.02,
+                     jnp.bfloat16)
+    floor = timed_chain(lambda v, k: v * jnp.bfloat16(1.0001), xstack, k0)
+    chain_out["floor_ms_per_iter"] = round(floor * 1e3, 4)
+    print(f"chain floor (no conv): {floor*1e3:.4f} ms/iter", flush=True)
+    print(json.dumps(chain_out))
 
 
 if __name__ == "__main__":
