@@ -104,6 +104,19 @@ def int8_conv_interceptor(min_in_ch: int = 256, counter: list | None = None):
             return next_fun(*args, **kwargs)
 
         x = args[0]
+        # compose with width-bucketed masked eval: this interceptor is the
+        # OUTER context (it wraps the whole eval driver) and flax runs
+        # outer interceptors FIRST, so returning without next_fun would
+        # skip the inner mask interceptor's spatial-conv-input re-zero
+        # (ops/masked.py).  Honor the mask here instead: zero-padded
+        # inputs quantize to zero and max|x| ignores zeros, so the
+        # masked-exactness argument carries over to the int8 path.
+        from .masked import current_mask, feature_valid, mask_valid
+        mk = current_mask()
+        if mk is not None:
+            valid_hw, pad_hw = mk
+            x = mask_valid(x, feature_valid(x.shape[1], x.shape[2],
+                                            valid_hw, pad_hw))
         kq, sw = quantize_per_channel(kernel)
         xq, sx = dynamic_quantize(x)
         y = jax.lax.conv_general_dilated(

@@ -89,6 +89,46 @@ def test_quantized_conv_matches_f32(dilation, stride, bias):
     assert rel < 0.02, rel
 
 
+def test_int8_composes_with_width_bucketing():
+    """Bucketed-masked int8 == exact-shape int8 on the valid region:
+    zero pads quantize to zero and max|x| ignores zeros, so the
+    masked-eval exactness argument survives quantization (the quantized
+    s32 convs are exact integer arithmetic; the residual 1e-6-scale noise
+    comes from the UNquantized f32 convs' padded-grid tiling, identical
+    to the pure-masked trunk test's tolerance).  Also
+    guards the interceptor-ordering hazard — int8 is the OUTER context
+    and flax runs outer interceptors first, so the int8 path must honor
+    ``current_mask()`` itself rather than rely on the inner mask
+    interceptor it short-circuits."""
+    import flax  # noqa: F401
+
+    from cvpr2021_vspw_implement_tpu.models.builder import ModelBuilder
+    from cvpr2021_vspw_implement_tpu.ops.masked import (feature_valid,
+                                                        masked_trunk)
+
+    enc = ModelBuilder.build_encoder("resnet18dilated")
+    h, w = 64, 96
+    rng = np.random.default_rng(3)
+    img = jnp.asarray(rng.standard_normal((1, h, w, 3)).astype(np.float32))
+    variables = enc.init(jax.random.PRNGKey(0), jnp.zeros((1, 32, 32, 3)))
+
+    with int8_trunk():
+        want = enc.apply(variables, img, train=False)[-1]
+
+    pad_hw = (96, 128)
+    imgp = jnp.pad(img, ((0, 0), (0, pad_hw[0] - h), (0, pad_hw[1] - w),
+                         (0, 0)))
+    cnt = []
+    with int8_trunk(counter=cnt), masked_trunk((h, w), pad_hw):
+        gotp = enc.apply(variables, imgp, train=False)[-1]
+    assert len(cnt) > 0  # the quantized path actually ran under the mask
+    hf, wf = gotp.shape[1:3]
+    hv, wv = (int(v) for v in feature_valid(hf, wf, (h, w), pad_hw))
+    assert (hv, wv) == tuple(want.shape[1:3])
+    np.testing.assert_allclose(np.asarray(gotp[:, :hv, :wv]),
+                               np.asarray(want), atol=1e-4, rtol=1e-4)
+
+
 def test_serve_dtype_int8_eval_driver(tmp_path):
     """--serve_dtype int8 drives the streaming eval end to end and lands
     near the bf16 run (same synthetic video, random weights — the masks
