@@ -50,6 +50,12 @@ def render(d: dict) -> str:
         row("Multi-stream serving (4 independent videos batched through "
             "the per-frame step)",
             f"{fmt(d['stream4_frames_per_sec'])} frames/sec/chip")
+    if d.get("int8_stream_frames_per_sec"):
+        row("… opt-in int8 quantized serving (`--serve_dtype int8`: wide "
+            "spatial convs s8×s8→s32, dynamic activations — an accuracy "
+            "trade, ops/quant.py)",
+            f"{fmt(d['int8_stream_frames_per_sec'])} frames/sec "
+            f"({fmt(d.get('int8_speedup'), 2)}× the bf16 row)")
     row("TCB-PSP R101 training step, 4-frame clip, per-chip batch 2 "
         "(the reference's per-GPU batch)",
         f"**{fmt(d.get('train_step_ms'))} ms/step at "
